@@ -1,0 +1,104 @@
+"""Text-analysis column expressions: language ID, quality, tokens.
+
+The reference delegates language detection to ``langdetect`` with a
+pinned seed (reference: src/azure_pdf_parser/experimental_base.py:135-160,
+DetectorFactory.seed=0 at :151-152). langdetect is a Python-only,
+row-at-a-time library — the engine replaces it with a deterministic
+stopword-profile heuristic expressed as pure column expressions, so
+language ID runs JVM-side inside whole-stage codegen with zero Python
+cost and identical results on any executor count.
+
+Every function here has a Spark (Column) and a SQL (string) form with
+bit-identical semantics — the SQL form feeds the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Ordered dict: tie-break is lexicographically smallest language code.
+LANG_STOPWORDS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+    "fr": ("le", "les", "et", "est", "dans", "une"),
+}
+
+
+def _score(text: Column | str, lang: str) -> Column:
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.col(text) if isinstance(text, str) else text, F.lit(pat), 1))
+
+
+def language_expr(text: Column | str) -> Column:
+    """Detected language code, or NULL when no stopword hits.
+
+    argmax over per-language stopword-hit counts; ties go to the
+    lexicographically smallest code (deterministic — the analog of the
+    reference's seed pinning).
+    """
+    scores = {lang: _score(text, lang) for lang in LANG_STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.lit(None).cast("string")
+    # build reversed so earlier langs win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit(None).cast("string")).otherwise(expr)
+
+
+def language_sql(text_sql: str) -> str:
+    """DuckDB SQL with semantics identical to :func:`language_expr`."""
+    score = {
+        lang: f"len(regexp_extract_all({text_sql}, '\\b({'|'.join(words)})\\b', 1))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in LANG_STOPWORDS
+    )
+    return f"(CASE WHEN {best} = 0 THEN NULL {cases} END)"
+
+
+def token_count_expr(text: Column | str) -> Column:
+    """Whitespace token count (corpus text is single-space joined)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, " ")))
+
+
+TOKEN_COUNT_SQL = "(CASE WHEN length({t}) = 0 THEN 0 ELSE len(string_split({t}, ' ')) END)"
+
+
+def quality_exprs(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring signals: length, tokens, avg token length,
+    stopword ratio, distinct-token ratio. All ratios rounded to 6 dp so
+    the DuckDB comparison is stable."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_tokens = token_count_expr(c)
+    all_stop = _score(c, "en") + _score(c, "de") + _score(c, "es") + _score(c, "fr")
+    n_distinct = F.size(F.array_distinct(F.split(c, " ")))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "avg_token_len": F.round((n_chars - (n_tokens - 1)) / n_tokens, 6),
+        "stopword_ratio": F.round(all_stop / n_tokens, 6),
+        "distinct_ratio": F.round(n_distinct / n_tokens, 6),
+    }
+
+
+def quality_sql() -> dict[str, str]:
+    """DuckDB equivalents of :func:`quality_exprs` over column ``text``."""
+    t = "text"
+    n_tokens = TOKEN_COUNT_SQL.format(t=t)
+    stops = " + ".join(
+        f"len(regexp_extract_all({t}, '\\b({'|'.join(words)})\\b', 1))"
+        for words in LANG_STOPWORDS.values()
+    )
+    return {
+        "n_chars": f"CAST(length({t}) AS BIGINT)",
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "avg_token_len": f"round((length({t}) - ({n_tokens} - 1)) / CAST({n_tokens} AS DOUBLE), 6)",
+        "stopword_ratio": f"round(({stops}) / CAST({n_tokens} AS DOUBLE), 6)",
+        "distinct_ratio": f"round(len(list_distinct(string_split({t}, ' '))) / CAST({n_tokens} AS DOUBLE), 6)",
+    }

@@ -1,0 +1,115 @@
+"""Main-content extraction over interleaved span arrays — the flagship.
+
+Given ``documents(doc_id, spans array<struct<kind,text,media_ref,offset>>)``
+produce per-document ordered main-content span sequences plus document
+metadata, reproducing the reference's convert-stage semantics:
+
+* boilerplate strip: drop pageHeader/pageFooter/pageNumber spans — the
+  main-content analog of the reference's role vocabulary (reference:
+  src/azure_pdf_parser/convert.py:46-77 keeps roles verbatim; the engine's
+  north_star adds the strip).
+* order preservation: output spans keep input order; the output ``offset``
+  is the 0-based ordinal in the kept sequence (FIXTURES.md §3).
+* kind defaulting: NULL kind → 'Text' (reference: convert.py:75).
+* document md5 over the kept text content (reference: utils.py:166-168).
+* language detection + >0.4 proportion aggregation (reference:
+  experimental_base.py:135-192).
+
+Scale notes: every transform here is a higher-order function over the
+``spans`` array column — narrow, shuffle-free, whole-stage-codegen'd.
+A 100 TB corpus maps straight through scan→project with no exchange;
+the only shuffles in the wider pipeline are the explicit repartition for
+parse-skew and the per-doc merge when a document was batch-split
+(operators/batching.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from azure_pdf_parser_spark.functions.text import language_expr
+from azure_pdf_parser_spark.sources.spanize import BOILERPLATE_KINDS
+
+
+def kept_spans_col(spans: Column) -> Column:
+    """Filter boilerplate, default NULL kind to 'Text', re-enumerate offset."""
+    kept = F.filter(
+        spans, lambda s: ~F.coalesce(s.kind, F.lit("Text")).isin(*BOILERPLATE_KINDS)
+    )
+    return F.transform(
+        kept,
+        lambda s, i: F.struct(
+            F.coalesce(s.kind, F.lit("Text")).alias("kind"),
+            s.text.alias("text"),
+            s.media_ref.alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+def doc_text_col(spans: Column) -> Column:
+    """' '-join of the text of kept text-bearing spans (media spans skipped)."""
+    texts = F.filter(spans, lambda s: s.text.isNotNull())
+    return F.array_join(F.transform(texts, lambda s: s.text), " ")
+
+
+def extract(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → parser_output-shaped rows (no shuffle)."""
+    kept = kept_spans_col(F.col("spans"))
+    text = doc_text_col(kept)
+    return documents.select(
+        "doc_id",
+        kept.alias("spans"),
+        F.md5(text).alias("document_md5_sum"),
+        language_expr(text).alias("language"),
+        F.size(kept).cast("bigint").alias("span_count"),
+        F.lit(False).alias("translated"),
+        F.lit("ok").alias("status"),
+    )
+
+
+def extract_exploded(documents: DataFrame) -> DataFrame:
+    """Flat (doc_id, ord, kind, text, media_ref) rows — one per kept span.
+
+    The exploded form of :func:`extract`, used for oracle comparison and
+    for downstream per-span analytics.
+    """
+    kept = kept_spans_col(F.col("spans"))
+    ex = documents.select("doc_id", F.explode(kept).alias("s"))
+    return ex.select(
+        "doc_id",
+        F.col("s.offset").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def doc_languages(documents: DataFrame, min_proportion: float = 0.4) -> DataFrame:
+    """O14: per-span language votes → doc languages above the proportion bar.
+
+    Reference semantics (experimental_base.py:162-192): count text blocks
+    per detected language, keep languages whose share of *detected*
+    (non-null) blocks exceeds ``min_language_proportion`` (default 0.4).
+    Array-local implementation: no shuffle — the vote count and the
+    proportion filter are higher-order functions over the spans array.
+    """
+    kept = kept_spans_col(F.col("spans"))
+    langs = F.filter(
+        F.transform(
+            F.filter(kept, lambda s: s.text.isNotNull()),
+            lambda s: language_expr(s.text),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    distinct = F.array_distinct(langs)
+    winners = F.filter(
+        distinct,
+        lambda lang: F.size(F.filter(langs, lambda v: v == lang))
+        > F.size(langs) * min_proportion,
+    )
+    out = documents.select(
+        "doc_id", F.explode(F.array_sort(winners)).alias("language")
+    )
+    return out
