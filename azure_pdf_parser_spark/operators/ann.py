@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+  cosine_topk      exact brute force — the correctness baseline. The
+                   smaller side is broadcast so the pairwise score is a
+                   broadcast-nested-loop with no shuffle of the big side;
+                   per-pair math is a JVM-side zip_with/aggregate fold
+                   (no Python, no UDF).
+  lsh_cosine_topk  the scale path: sign-random-projection LSH. Bucket =
+                   the 8 sign bits of the first 8 components (a fixed,
+                   deterministic axis-aligned projection — seedless so
+                   the DuckDB oracle reproduces it bit-for-bit); top-k is
+                   computed only within buckets. At 10^9 vectors the
+                   candidate set per probe drops by ~2^8 while recall
+                   stays usable for near-duplicate retrieval.
+
+Vectors are cast to array<double> before any arithmetic so Spark and
+the DuckDB oracle accumulate in the same precision, in the same
+left-to-right order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_BITS = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_norm(embeddings: DataFrame) -> DataFrame:
+    vec = F.col("embedding").cast("array<double>")
+    return embeddings.select(
+        "vec_id", vec.alias("vec"), _norm(vec).alias("norm")
+    )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """(vec_id, neighbor_id, rank, cosine): exact top-k cosine neighbors.
+
+    rank is deterministic: (round(cosine,6) DESC, neighbor_id ASC).
+    """
+    from pyspark.sql.window import Window
+
+    a = with_norm(embeddings).alias("a")
+    b = with_norm(embeddings).alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a.norm") * F.col("b.norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucket_col(vec: Column, bits: int = LSH_BITS) -> Column:
+    """Sign bits of the first `bits` components, as a bitstring."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(vec, 1, bits),
+            lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def lsh_cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the LSH bucket.
+
+    The bucket equi-join replaces the all-pairs product — the shuffle key
+    is the bucket id, so candidate generation is O(sum of bucket²)
+    instead of O(n²)."""
+    from pyspark.sql.window import Window
+
+    base = with_norm(embeddings).withColumn(
+        "bucket", lsh_bucket_col(F.col("vec"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a.norm") * F.col("b.norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+_DOT_SQL = """
+(SELECT sum(x * y) FROM (
+    SELECT UNNEST(CAST({a} AS DOUBLE[])) AS x, UNNEST(CAST({b} AS DOUBLE[])) AS y
+))
+"""
+
+COSINE_TOPK_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                                i -> a.vec[i] * b.vec[i]), 'sum')
+                 / (a.norm * b.norm), 6) AS cosine
+    FROM base a JOIN base b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+LSH_COSINE_TOPK_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm,
+           array_to_string(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, {bits}),
+                           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                                i -> a.vec[i] * b.vec[i]), 'sum')
+                 / (a.norm * b.norm), 6) AS cosine
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""

@@ -96,18 +96,18 @@ def doc_languages(documents: DataFrame, min_proportion: float = 0.4) -> DataFram
     proportion filter are higher-order functions over the spans array.
     """
     kept = kept_spans_col(F.col("spans"))
-    langs = F.filter(
-        F.transform(
-            F.filter(kept, lambda s: s.text.isNotNull()),
-            lambda s: language_expr(s.text),
-        ),
-        lambda v: v.isNotNull(),
+    votes = F.transform(
+        F.filter(kept, lambda s: s.text.isNotNull()),
+        lambda s: language_expr(s.text),
     )
+    langs = F.filter(votes, lambda v: v.isNotNull())
     distinct = F.array_distinct(langs)
+    # denominator is ALL text blocks, detected or not (reference
+    # experimental_base.py:183-191 divides by len(all_text_block_languages))
     winners = F.filter(
         distinct,
         lambda lang: F.size(F.filter(langs, lambda v: v == lang))
-        > F.size(langs) * min_proportion,
+        > F.size(votes) * min_proportion,
     )
     out = documents.select(
         "doc_id", F.explode(F.array_sort(winners)).alias("language")

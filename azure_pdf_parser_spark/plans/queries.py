@@ -20,7 +20,7 @@ from azure_pdf_parser_spark.functions.text import (
     quality_exprs,
     quality_sql,
 )
-from azure_pdf_parser_spark.operators import extract_spans
+from azure_pdf_parser_spark.operators import ann, dedup, extract_spans
 from azure_pdf_parser_spark.sources.spanize import (
     BOILERPLATE_SQL_PREDICATE,
     SPANIZE_SQL_CTE,
@@ -135,8 +135,10 @@ counts AS (
     FROM votes WHERE language IS NOT NULL GROUP BY doc_id, language
 ),
 tot AS (
+    -- denominator: ALL text blocks, detected or not (reference
+    -- experimental_base.py:183-191)
     SELECT doc_id, count(*) AS n
-    FROM votes WHERE language IS NOT NULL GROUP BY doc_id
+    FROM votes GROUP BY doc_id
 )
 SELECT counts.doc_id, counts.language
 FROM counts JOIN tot ON counts.doc_id = tot.doc_id
@@ -257,3 +259,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite: n-gram Jaccard, MinHash+LSH, SimHash, winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_ngram_jaccard", dedup.NGRAM_JACCARD_SQL.format(threshold=0.3))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+@query("dedup_minhash_lsh", dedup.MINHASH_LSH_SQL)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+@query("dedup_simhash", dedup.SIMHASH_SQL)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+@query("fingerprint_winnow", dedup.WINNOW_SQL)
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query("ann_cosine_topk", ann.COSINE_TOPK_SQL.format(k=5))
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.cosine_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query("ann_lsh_cosine_topk", ann.LSH_COSINE_TOPK_SQL.format(k=5, bits=ann.LSH_BITS))
+def q_ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_per_sec": ..., "scaling": {...}}
+
+Scaling evidence (north_rule: ≥0.8 efficiency from N → 4N executors,
+sandbox proxy = two local[k] levels): the flagship extraction runs on
+the same amplified input at local[CPUS/4] and local[CPUS]; efficiency =
+(throughput_hi / throughput_lo) / 4.
+
+The documents table is amplified ×AMPLIFY (doc_id suffixed per copy) so
+per-run work is seconds, not milliseconds — fixed job overhead would
+otherwise swamp the scaling signal. Set SPARK_GRAFT_AMPLIFY=1 to bench
+the raw table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "40"))
+SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+BENCH_QUERIES = [
+    "extract_spans",
+    "parser_output",
+    "doc_languages",
+    "table_cell_tagging",
+    "quality_scores",
+    "langid",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "fingerprint_winnow",
+    "dedup_simhash",
+    "ann_lsh_cosine_topk",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .getOrCreate()
+    )
+
+
+def amplified_documents(spark, sf_dir: str, factor: int):
+    """Replicate the documents table ×factor with distinct doc_ids —
+    same shape/skew, more rows."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if factor <= 1:
+        return docs
+    return docs.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    ).select(
+        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def run_noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def flagship(spark, sf_dir: str, factor: int):
+    from azure_pdf_parser_spark.operators.extract_spans import extract
+    from azure_pdf_parser_spark.sources.spanize import derive_spans
+
+    docs = amplified_documents(spark, sf_dir, factor)
+    return extract(derive_spans(docs))
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        run_noop(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        log(f"  {name}: {timings[name]:.2f}s")
+    return timings
+
+
+def bench_scaling(n_docs_amplified: int) -> dict:
+    """Same flagship job at two parallelism levels; docs/sec at both."""
+    lo_cores = max(CPUS // 4, 1)
+    out = {"cores_lo": lo_cores, "cores_hi": CPUS}
+    for label, cores in (("lo", lo_cores), ("hi", CPUS)):
+        spark = make_session(cores)
+        try:
+            df = flagship(spark, SF_DIR, AMPLIFY)
+            run_noop(df)  # warm (read cache, codegen)
+            t0 = time.perf_counter()
+            run_noop(df)
+            dt = time.perf_counter() - t0
+        finally:
+            spark.stop()
+        out[f"sec_{label}"] = round(dt, 3)
+        out[f"docs_per_sec_{label}"] = round(n_docs_amplified / dt, 1)
+        log(f"  scaling local[{cores}]: {dt:.2f}s ({out[f'docs_per_sec_{label}']} docs/s)")
+    ratio = out["docs_per_sec_hi"] / out["docs_per_sec_lo"]
+    out["speedup"] = round(ratio, 3)
+    out["efficiency"] = round(ratio / (CPUS / lo_cores), 3)
+    return out
+
+
+def main() -> None:
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    n_amplified = n_docs * AMPLIFY
+
+    log(f"bench: sf_dir={SF_DIR} cpus={CPUS} amplify={AMPLIFY} docs={n_amplified}")
+
+    # scaling first (owns its sessions), then the per-query sweep
+    scaling = bench_scaling(n_amplified)
+
+    spark = make_session(CPUS)
+    try:
+        timings = bench_queries(spark)
+        # flagship throughput at full parallelism on the amplified input
+        df = flagship(spark, SF_DIR, AMPLIFY)
+        run_noop(df)
+        t0 = time.perf_counter()
+        run_noop(df)
+        flagship_sec = time.perf_counter() - t0
+    finally:
+        spark.stop()
+
+    total = round(sum(timings.values()) + flagship_sec, 3)
+    result = {
+        "metric": "extraction+pipeline-suite seconds (flagship extract amplified x%d + %d queries)"
+        % (AMPLIFY, len(timings)),
+        "value": total,
+        "unit": "sec",
+        "queries": {**timings, "flagship_extract_amplified": round(flagship_sec, 3)},
+        "sf": SF,
+        "docs_per_sec": round(n_amplified / flagship_sec, 1),
+        "n_docs_amplified": n_amplified,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

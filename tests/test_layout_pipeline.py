@@ -1,0 +1,249 @@
+"""Layout-IR pipeline (O1, O3–O12, O19) vs the pure-Python oracle.
+
+The engine analog of the reference's golden-fixture pytest suite:
+deterministic LAYOUT_BATCH fixtures → Spark operators → field-by-field
+equality against azure_pdf_parser_spark.model.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.layout_fixtures import make_corpus, model_expected
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.operators.batching import merge_batches
+    from azure_pdf_parser_spark.operators.layout import assemble
+    from azure_pdf_parser_spark.schemas import LAYOUT_BATCH
+
+    batch_rows, doc_meta = make_corpus()
+    df = spark.createDataFrame(batch_rows, LAYOUT_BATCH)
+    merged = merge_batches(df)
+    meta_df = spark.createDataFrame(
+        [
+            {"doc_id": k, "cdn_object": v["cdn_object"], "md5_sum": v["md5_sum"]}
+            for k, v in doc_meta.items()
+        ],
+        "doc_id string, cdn_object string, md5_sum string",
+    )
+    assembled = assemble(
+        merged.join(F.broadcast(meta_df), "doc_id"),
+        experimental_extract_tables=True,
+        cdn_object_col="cdn_object",
+        md5_sum_col="md5_sum",
+    )
+    engine = {r["doc_id"]: r.asDict(recursive=True) for r in assembled.collect()}
+    expected = model_expected(batch_rows, doc_meta)
+    assert set(engine) == set(expected)
+    return engine, expected
+
+
+def test_status_and_errors(pipeline_result):
+    engine, expected = pipeline_result
+    for doc_id, exp in expected.items():
+        got = engine[doc_id]
+        assert got["status"] == exp["status"], f"{doc_id}: {got['error']}"
+        if exp["status"] == "failed":
+            assert got["error"] == exp["error"], doc_id
+    # the corpus must actually exercise the quarantine path
+    assert sum(1 for e in expected.values() if e["status"] == "failed") >= 3
+
+
+def test_text_blocks_match(pipeline_result):
+    engine, expected = pipeline_result
+    compared = 0
+    for doc_id, exp in expected.items():
+        if exp["status"] != "ok":
+            continue
+        got_blocks = engine[doc_id]["text_blocks"]
+        exp_blocks = exp["text_blocks"]
+        assert len(got_blocks) == len(exp_blocks), doc_id
+        for gb, eb in zip(got_blocks, exp_blocks):
+            assert gb["text_block_id"] == eb["text_block_id"], doc_id
+            assert gb["type"] == eb["type"], (doc_id, gb["text_block_id"])
+            assert gb["text"] == eb["text"][0], doc_id
+            assert gb["page_number"] == eb["page_number"], doc_id
+            assert gb["language"] == eb["language"], doc_id
+            assert gb["type_confidence"] == eb["type_confidence"]
+            got_coords = [(c["x"], c["y"]) for c in gb["coords"]]
+            assert got_coords == pytest.approx(eb["coords"]), doc_id
+            compared += 1
+    assert compared > 50  # corpus is non-trivial
+
+
+def test_text_block_id_gaps_preserved(pipeline_result):
+    """doc010 has a paragraph with null bounding_regions at index 0 — the
+    id enumeration must keep the gap (reference convert.py:90-96)."""
+    engine, expected = pipeline_result
+    exp_ids = [b["text_block_id"] for b in expected["doc010"]["text_blocks"]]
+    got_ids = [b["text_block_id"] for b in engine["doc010"]["text_blocks"]]
+    assert got_ids == exp_ids
+    assert "0" not in got_ids  # the dropped paragraph leaves a gap
+
+
+def test_table_cell_tagging(pipeline_result):
+    """Docs with tables get their mirrored paragraphs tagged TableCell
+    (reference tests/test_convert.py:192-298 semantics)."""
+    engine, expected = pipeline_result
+    tagged_docs = 0
+    for doc_id, exp in expected.items():
+        if exp["status"] != "ok":
+            continue
+        exp_types = [b["type"] for b in exp["text_blocks"]]
+        got_types = [b["type"] for b in engine[doc_id]["text_blocks"]]
+        assert got_types == exp_types, doc_id
+        if "TableCell" in exp_types:
+            tagged_docs += 1
+    assert tagged_docs >= 3
+
+
+def test_empty_and_none_cell_spans_tag_nothing(pipeline_result):
+    """doc009's first two cells have spans []/None — they must not tag
+    (reference tests/conftest.py:316-349)."""
+    engine, expected = pipeline_result
+    got_types = [b["type"] for b in engine["doc009"]["text_blocks"]]
+    exp_types = [b["type"] for b in expected["doc009"]["text_blocks"]]
+    assert got_types == exp_types
+
+
+def test_page_metadata(pipeline_result):
+    engine, expected = pipeline_result
+    for doc_id, exp in expected.items():
+        if exp["status"] != "ok":
+            continue
+        got = [
+            (m["page_number"], m["width"], m["height"])
+            for m in engine[doc_id]["page_metadata"]
+        ]
+        want = [
+            (m["page_number"], m["width"], m["height"])
+            for m in exp["page_metadata"]
+        ]
+        assert got == pytest.approx(want), doc_id
+    # doc012 drops its null-width page
+    n_pages_12 = len(expected["doc012"]["page_metadata"])
+    assert len(engine["doc012"]["page_metadata"]) == n_pages_12
+
+
+def test_table_blocks(pipeline_result):
+    engine, expected = pipeline_result
+    for doc_id, exp in expected.items():
+        if exp["status"] != "ok":
+            continue
+        got, want = engine[doc_id]["table_blocks"], exp["table_blocks"]
+        assert (got or []) == pytest.approx(want or []) or _tables_eq(got, want), doc_id
+
+
+def _tables_eq(got, want):
+    got, want = got or [], want or []
+    if len(got) != len(want):
+        return False
+    for g, w in zip(got, want):
+        if (g["table_id"], g["row_count"], g["column_count"]) != (
+            w["table_id"],
+            w["row_count"],
+            w["column_count"],
+        ):
+            return False
+        if len(g["cells"]) != len(w["cells"]):
+            return False
+        for gc, wc in zip(g["cells"], w["cells"]):
+            for f in ("cell_type", "row_index", "column_index", "row_span",
+                      "column_span", "content"):
+                if gc[f] != wc[f]:
+                    return False
+            gr, wr = gc["bounding_regions"][0], wc["bounding_regions"][0]
+            if gr["page_number"] != wr["page_number"]:
+                return False
+            gp = [(p["x"], p["y"]) for p in gr["polygon"]]
+            wp = [(p["x"], p["y"]) for p in wr["polygon"]]
+            if gp != pytest.approx(wp):
+                return False
+    return True
+
+
+def test_languages(pipeline_result):
+    engine, expected = pipeline_result
+    for doc_id, exp in expected.items():
+        if exp["status"] != "ok":
+            continue
+        assert engine[doc_id]["languages"] == exp["languages"], doc_id
+        assert engine[doc_id]["document_md5_sum"] == exp["document_md5_sum"]
+        assert engine[doc_id]["translated"] is False
+
+
+def test_coordinate_flip(spark, pipeline_result):
+    """O19: y → page_height − y (reference tests/test_convert.py:164-170)."""
+    from azure_pdf_parser_spark.operators.layout import flip_text_block_coords
+    from azure_pdf_parser_spark.operators.batching import merge_batches
+    from azure_pdf_parser_spark.operators.layout import assemble
+    from azure_pdf_parser_spark.schemas import LAYOUT_BATCH
+    from azure_pdf_parser_spark import model
+    from tests.layout_fixtures import make_corpus, model_expected
+
+    engine, expected = pipeline_result
+    batch_rows, doc_meta = make_corpus()
+    df = spark.createDataFrame(batch_rows, LAYOUT_BATCH)
+    assembled = assemble(merge_batches(df), experimental_extract_tables=False)
+    flipped = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in flip_text_block_coords(assembled).collect()
+    }
+    checked = 0
+    for doc_id, exp in expected.items():
+        if exp["status"] != "ok" or not exp["text_blocks"]:
+            continue
+        # the pure-Python flip KeyErrors when a block's page was dropped
+        # from page_metadata (null dims); the engine keeps y unchanged —
+        # only compare docs where every block page has metadata
+        meta_pages = {m["page_number"] for m in exp["page_metadata"]}
+        if any(b["page_number"] not in meta_pages for b in exp["text_blocks"]):
+            continue
+        exp_flipped = model.vertically_flip_coords(
+            {
+                "text_blocks": [dict(b) for b in exp["text_blocks"]],
+                "page_metadata": exp["page_metadata"],
+            }
+        )
+        got = flipped[doc_id]["text_blocks"]
+        for gb, eb in zip(got, exp_flipped["text_blocks"]):
+            got_coords = [(c["x"], c["y"]) for c in gb["coords"]]
+            assert got_coords == pytest.approx(eb["coords"]), doc_id
+            checked += 1
+    assert checked > 20
+
+
+def test_plan_batches_parity(spark):
+    """O1 batch math: 68@12 → 6 batches (1,12)..(61,68)
+    (reference tests/test_utils.py:221-230); 68@16 → 5
+    (tests/test_azure_wrapper.py:139-186); batch_size<1 raises."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark import model
+    from azure_pdf_parser_spark.operators.batching import plan_batches_col
+
+    for n_pages, bs in [(68, 12), (68, 16), (1, 50), (50, 50), (51, 50), (2, 1)]:
+        want = [
+            (p["batch_number"], p["page_range"][0], p["page_range"][1])
+            for p in model.plan_batches(n_pages, bs)
+        ]
+        df = spark.range(1).select(
+            plan_batches_col(F.lit(n_pages), batch_size=bs).alias("b")
+        )
+        got = [
+            (b["batch_number"], b["page_range"]["first"], b["page_range"]["last"])
+            for b in df.collect()[0]["b"]
+        ]
+        assert got == want, (n_pages, bs)
+    assert [w for w in model.plan_batches(68, 12)][0]["page_range"] == (1, 12)
+    assert len(model.plan_batches(68, 12)) == 6
+    assert len(model.plan_batches(68, 16)) == 5
+
+    with pytest.raises(ValueError):
+        model.plan_batches(10, 0)
+    with pytest.raises(ValueError):
+        plan_batches_col(F.lit(10), batch_size=0)
