@@ -225,67 +225,52 @@ def simhash(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
     )
-    h = F.md5("token")
-    pos = tokens.select(
+    # one row per (doc, token) with the 32 md5 nibbles materialized once;
+    # then ONE groupBy(doc_id) carrying 128 weighted bit-sums as aggregate
+    # expressions (map-side partials). An earlier formulation exploded
+    # (doc, token) × 32 positions × 4 bits into ~80M rows through three
+    # shuffles and ran 10× slower.
+    nibs = tokens.select(
         "doc_id",
         "cnt",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(32)),
-                lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1))
-                - 1,
+        F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda p: F.instr(
+                F.lit("0123456789abcdef"), F.substring(F.md5("token"), p, 1)
             )
-        ).alias("pos", "nibble"),
+            - 1,
+        ).alias("nibs"),
     )
-    bits = pos.select(
-        "doc_id",
-        "pos",
-        "cnt",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.struct(
-                    b.alias("bit"),
-                    (
-                        F.floor(F.col("nibble") / F.pow(F.lit(2), b)).cast("int") % 2
-                    ).alias("set"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.col("bb.bit").alias("bit"),
-        F.when(F.col("bb.set") == 1, F.col("cnt")).otherwise(-F.col("cnt")).alias(
-            "w"
-        ),
-    )
-    nibbles = (
-        bits.groupBy("doc_id", "pos", "bit")
-        .agg(F.sum("w").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0))
-        .groupBy("doc_id", "pos")
-        .agg(
-            F.sum(
-                F.col("bitval") * F.pow(F.lit(2), F.col("bit")).cast("int")
-            ).alias("nib")
+    bit_sums = [
+        F.sum(
+            F.when(
+                (
+                    F.floor(
+                        F.element_at(F.col("nibs"), pos + 1) / F.lit(2**bit)
+                    ).cast("int")
+                    % 2
+                )
+                == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s_{pos:02d}_{bit}")
+        for pos in range(32)
+        for bit in range(4)
+    ]
+    sums = nibs.groupBy("doc_id").agg(*bit_sums)
+    nib_chars = [
+        F.substring(
+            F.lit("0123456789abcdef"),
+            sum(
+                F.when(F.col(f"s_{pos:02d}_{bit}") > 0, 2**bit).otherwise(0)
+                for bit in range(4)
+            ).cast("int")
+            + 1,
+            1,
         )
-        .select(
-            "doc_id",
-            "pos",
-            F.substring(
-                F.lit("0123456789abcdef"), F.col("nib").cast("int") + 1, 1
-            ).alias("c"),
-        )
-    )
-    return nibbles.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
-            ),
-        ).alias("simhash")
-    )
+        for pos in range(32)
+    ]
+    return sums.select("doc_id", F.concat(*nib_chars).alias("simhash"))
 
 
 SIMHASH_SQL = """
@@ -327,8 +312,16 @@ def winnow_fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
     """(doc_id, fingerprint): distinct winnowed shingle-hash minima —
     classic document fingerprinting (Schleimer et al., SIGMOD'03 style):
     hash every 3-word shingle, slide a window of 4, keep each window's
-    minimum, dedup. Array-local (no shuffle): the sliding-min runs inside
-    a transform() over the per-doc hash array."""
+    minimum, dedup.
+
+    Implemented as a window-function sliding min over the exploded
+    (doc_id, pos, hash) rows. An earlier array-local formulation
+    (array_min over slice() per position) was 25× slower: Catalyst
+    inlines the hash-array subexpression into every window position, so
+    codegen went O(n²) per document. The explode + window form hashes
+    each shingle exactly once; the one shuffle keys on doc_id (uniform)."""
+    from pyspark.sql.window import Window
+
     words = F.split("text", " ")
     n = F.size(words)
     shingle_arr = F.when(n < SHINGLE_WORDS, F.array(F.col("text"))).otherwise(
@@ -337,13 +330,17 @@ def winnow_fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i + 1, SHINGLE_WORDS), " "),
         )
     )
-    hashes = F.transform(shingle_arr, F.md5)
-    mins = F.transform(
-        F.sequence(F.lit(0), F.size(hashes) - 1),
-        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    hashed = documents.select(
+        "doc_id", F.posexplode(shingle_arr).alias("pos", "shingle")
+    ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
     )
-    return documents.select(
-        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    return (
+        hashed.select("doc_id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
     )
 
 

@@ -54,12 +54,16 @@ def doc_text_col(spans: Column) -> Column:
     return F.array_join(F.transform(texts, lambda s: s.text), " ")
 
 
-def extract(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, spans) → parser_output-shaped rows (no shuffle)."""
+def extract(documents: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """documents(doc_id, spans) → parser_output-shaped rows (no shuffle).
+
+    ``passthrough`` names extra input columns to carry into the output
+    (e.g. the skew bucket, for manifest lineage)."""
     kept = kept_spans_col(F.col("spans"))
     text = doc_text_col(kept)
     return documents.select(
         "doc_id",
+        *passthrough,
         kept.alias("spans"),
         F.md5(text).alias("document_md5_sum"),
         language_expr(text).alias("language"),

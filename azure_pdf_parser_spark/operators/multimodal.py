@@ -1,0 +1,154 @@
+"""Multimodal columns: opaque binary media + typed metadata.
+
+Interleaved documents carry media spans as references; the media bytes
+themselves live in a side table ``media(media_ref, media_type, content
+binary)``. This module gives the Spark-side plumbing for media
+processing — schema, batch shape, partitioning, UDF signatures — with
+the actual codec work stubbed: image/audio libraries are not installed
+in this container, so decode raises NotImplementedError unless a
+deterministic fake is injected (the documented seam for tests), while
+header-level feature extraction (magic sniffing, PNG/JPEG/GIF/WAV
+dimensions) is real pure-Python byte parsing.
+
+Everything runs in ``mapInPandas`` over Arrow batches: binary columns
+arrive zero-copy as pandas bytes objects, one Python invocation per
+batch. At 100 TB the media table is the heavy side — partition by
+media_ref hash, never by media_type (three giant skewed groups).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from collections.abc import Iterator
+from typing import Callable, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+MEDIA_FEATURES_SCHEMA = (
+    "media_ref string, media_type string, n_bytes long, "
+    "format string, width int, height int, status string, error string"
+)
+
+# test seam: full decode (pixels/samples) — not available in this container
+FAKE_DECODER: Optional[Callable[[bytes], dict]] = None
+
+
+def sniff_format(content: bytes) -> str | None:
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    if content[:4] == b"%PDF":
+        return "pdf"
+    return None
+
+
+def header_dimensions(fmt: str, content: bytes) -> tuple[int | None, int | None]:
+    """Width/height (or channels/sample-rate for wav) from file headers —
+    real byte-level parsing, no codec libraries."""
+    try:
+        if fmt == "png" and len(content) >= 24:
+            w, h = _struct.unpack(">II", content[16:24])
+            return int(w), int(h)
+        if fmt == "gif" and len(content) >= 10:
+            w, h = _struct.unpack("<HH", content[6:10])
+            return int(w), int(h)
+        if fmt == "jpeg":
+            i = 2
+            while i + 9 < len(content):
+                if content[i] != 0xFF:
+                    break
+                marker = content[i + 1]
+                seg_len = _struct.unpack(">H", content[i + 2 : i + 4])[0]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                    h, w = _struct.unpack(">HH", content[i + 5 : i + 9])
+                    return int(w), int(h)
+                i += 2 + seg_len
+        if fmt == "wav" and len(content) >= 28:
+            channels = _struct.unpack("<H", content[22:24])[0]
+            rate = _struct.unpack("<I", content[24:28])[0]
+            return int(channels), int(rate)
+    except Exception:
+        return None, None
+    return None, None
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """(media_ref, media_type, content) → header-level features.
+
+    Vectorized mapInPandas; per-item failures quarantine, the task
+    survives (same error-channel contract as the document parse stage).
+    """
+    fake_decoder = FAKE_DECODER  # captured for executor shipping
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for ref, mtype, content in zip(
+                b["media_ref"], b["media_type"], b["content"]
+            ):
+                try:
+                    data = bytes(content) if content is not None else b""
+                    fmt = sniff_format(data)
+                    w, h = header_dimensions(fmt, data) if fmt else (None, None)
+                    out.append((ref, mtype, len(data), fmt, w, h, "ok", None))
+                except Exception as e:
+                    out.append(
+                        (ref, mtype, None, None, None, None, "failed",
+                         f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_ref", "media_type", "n_bytes", "format",
+                         "width", "height", "status", "error"],
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "media_ref string, frame_index int, features array<float>, "
+    "status string, error string"
+)
+
+
+def decode_media(media: DataFrame, frame_stride: int = 1) -> DataFrame:
+    """Full decode / frame-sample / feature-extract.
+
+    STUB: pixel/sample decoding needs codec libraries absent from this
+    container. The Spark plumbing (Arrow batch iteration, 1→N frame
+    fan-out, error channel, schema) is real and tested via FAKE_DECODER;
+    without a decoder every row quarantines with NotImplementedError.
+    """
+    fake_decoder = FAKE_DECODER
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for ref, content in zip(b["media_ref"], b["content"]):
+                try:
+                    if fake_decoder is None:
+                        raise NotImplementedError(
+                            "media decode requires codec libraries not "
+                            "installed in this environment"
+                        )
+                    decoded = fake_decoder(bytes(content))
+                    frames = decoded["frames"][::frame_stride]
+                    for idx, feats in enumerate(frames):
+                        out.append((ref, idx, list(map(float, feats)), "ok", None))
+                except Exception as e:
+                    out.append(
+                        (ref, None, None, "failed", f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_ref", "frame_index", "features", "status", "error"],
+            )
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)

@@ -1,0 +1,100 @@
+"""O2 analog: the in-cluster parse stage (raw bytes → interleaved spans).
+
+The reference ships PDF bytes to Azure Document Intelligence
+(reference azure_wrapper.py:46-61) and treats the response as a black
+box; the engine computes in-cluster instead: a ``mapInPandas`` stage
+takes Arrow batches of (doc_id, content_type, content) and emits the
+input_hint span rows. Per-document failures never kill the task —
+they surface as status='failed' rows (reference skip-on-error
+semantics, run.py:27-39).
+
+* HTML: the dependency-free DOM parser in functions/html.py — real and
+  fully tested.
+* PDF: gated behind pypdf (not present in this sandbox). The Spark-side
+  plumbing — schema, batching, error channel — is identical; without
+  pypdf each PDF row degrades to a failed row carrying the reason, and
+  ``FAKE_PDF_PARSER`` can be monkeypatched in tests to a deterministic
+  stand-in to exercise the full path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+PARSED_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "status string, error string"
+)
+
+# test seam: set to a callable bytes -> list[span dict] to fake PDF decode
+FAKE_PDF_PARSER: Optional[Callable[[bytes], list[dict]]] = None
+
+
+def _parse_pdf_bytes(content: bytes, fake_parser=None) -> list[dict]:
+    if fake_parser is not None:
+        return fake_parser(content)
+    try:
+        import pypdf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "PDF decode requires pypdf, which is not installed in this "
+            "environment; HTML parsing is fully supported"
+        ) from e
+    # pypdf path (exercised only where pypdf exists): one Text span per
+    # page text run, page breaks as offsets into the concatenated text
+    from io import BytesIO
+
+    reader = pypdf.PdfReader(BytesIO(content))
+    spans, offset = [], 0
+    for page in reader.pages:
+        text = (page.extract_text() or "").strip()
+        if text:
+            spans.append(
+                {"kind": "Text", "text": text, "media_ref": None, "offset": offset}
+            )
+            offset += len(text) + 1
+    return spans
+
+
+def parse_documents(raw: DataFrame) -> DataFrame:
+    """(doc_id, content_type, content binary) → (doc_id, spans, status, error).
+
+    Vectorized: one Python invocation per Arrow batch, not per row; all
+    decode errors are caught per document.
+    """
+
+    # captured at plan-build time so cloudpickle ships the test fake to
+    # executor workers (a module global would not survive re-import there)
+    fake_parser = FAKE_PDF_PARSER
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from azure_pdf_parser_spark.functions.html import html_to_spans
+
+        for pdf_batch in batches:
+            out = []
+            for doc_id, ctype, content in zip(
+                pdf_batch["doc_id"], pdf_batch["content_type"], pdf_batch["content"]
+            ):
+                try:
+                    if ctype == "text/html":
+                        spans = html_to_spans(
+                            bytes(content).decode("utf-8", errors="replace")
+                        )
+                    elif ctype == "application/pdf":
+                        spans = _parse_pdf_bytes(bytes(content), fake_parser)
+                    else:
+                        raise ValueError(f"unsupported content type: {ctype}")
+                    out.append((doc_id, spans, "ok", None))
+                except Exception as e:  # per-doc quarantine, task survives
+                    out.append((doc_id, None, "failed", f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "spans", "status", "error"]
+            )
+
+    return raw.mapInPandas(run, schema=PARSED_SCHEMA)

@@ -1,0 +1,85 @@
+"""End-to-end production pipeline: the spark-submit job body.
+
+    read documents (doc_id, spans)
+      → resume anti-join (skip docs already done)           [manifest.py]
+      → size-bucket + salt repartition (compute-skew break)
+      → main-content extraction                             [extract_spans.py]
+      → write parser_output + append manifest
+
+Skew handling (north_rule): AQE only re-plans *shuffle* skew; the cost
+of the extraction expressions scales with the byte-size of the spans
+array, which AQE cannot see. So the pipeline repartitions explicitly on
+(size_bucket, salt): every task gets a bounded mix of monster and tiny
+documents. This mirrors the reference's own insight — it splits big PDFs
+into ≤50-page batches so no single request owns a monster
+(reference utils.py:117-163).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_pdf_parser_spark.operators.extract_spans import extract
+from azure_pdf_parser_spark.plans import manifest as mf
+
+# bucket boundaries on the serialized size of the spans payload (bytes of
+# text; media refs are pointers). Tuned so the largest bucket's rows are
+# each a bounded unit of work.
+BUCKET_BOUNDS = [1_000, 10_000, 100_000, 1_000_000]
+SALT_BUCKETS = 16
+
+
+def size_bucket_col(spans) -> "F.Column":
+    """Bucket by total payload bytes of the spans array — byte size, not
+    span count (a few huge media-text spans cost more than many tiny
+    ones)."""
+    payload = F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.coalesce(F.length(s.text).cast("long"), F.lit(0))
+        + F.coalesce(F.length(s.media_ref).cast("long"), F.lit(0)),
+    )
+    bucket = F.lit("b0")
+    for i, bound in enumerate(BUCKET_BOUNDS):
+        bucket = F.when(payload >= bound, F.lit(f"b{i + 1}")).otherwise(bucket)
+    return bucket
+
+
+def with_skew_partitioning(
+    documents: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Add (bucket, salt) and repartition so heavy docs spread evenly.
+
+    salt = positive xxhash of doc_id mod SALT_BUCKETS — deterministic,
+    uniform, and independent of input order.
+    """
+    df = documents.withColumn("bucket", size_bucket_col(F.col("spans"))).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, "bucket", "salt")
+
+
+def run_extract(
+    spark: SparkSession,
+    documents: DataFrame,
+    output_path: str,
+    manifest_path: str,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+) -> str:
+    """The full job. Returns the run_id. Restart-safe: docs already
+    'done' in the manifest are skipped via left-anti join."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    todo = mf.resume_filter(documents, spark, manifest_path)
+    parted = with_skew_partitioning(todo, num_partitions)
+    extracted = extract(parted, passthrough=("bucket",))
+
+    extracted.write.mode("append").parquet(output_path)
+    mf.append_manifest(extracted, manifest_path, run_id)
+    return run_id

@@ -1,0 +1,105 @@
+"""Structured Streaming extraction + multimodal media plumbing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_stream_matches_batch(spark):
+    """availableNow stream over the documents parquet must produce the
+    exact rows the batch path produces (same operators, same results)."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.operators.extract_spans import extract
+    from azure_pdf_parser_spark.sources.spanize import derive_spans
+    from azure_pdf_parser_spark.streaming.stream_extract import start_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        shutil.copy(f"{SF_DIR}/documents.parquet", f"{in_dir}/part-000.parquet")
+
+        q = start_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out_dir)
+        want = extract(
+            derive_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+        )
+        assert got.count() == want.count()
+        g = got.select("doc_id", "document_md5_sum", "span_count")
+        w = want.select("doc_id", "document_md5_sum", "span_count")
+        assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+
+        # restart with no new files: checkpoint makes it a no-op (no dupes)
+        q2 = start_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == want.count()
+
+
+def _png(w: int, h: int) -> bytes:
+    return b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + struct.pack(">II", w, h)
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h)
+
+
+def _wav(channels: int, rate: int) -> bytes:
+    return (
+        b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt " + b"\x00" * 6
+        + struct.pack("<H", channels) + struct.pack("<I", rate)
+    )
+
+
+def test_media_feature_extraction(spark):
+    from azure_pdf_parser_spark.operators.multimodal import extract_media_features
+
+    rows = [
+        ("m1", "image", _png(640, 480)),
+        ("m2", "image", _gif(32, 16)),
+        ("m3", "audio", _wav(2, 44100)),
+        ("m4", "image", b"\xff\xd8\xff\xe0" + b"\x00" * 4),  # jpeg, no SOF
+        ("m5", "image", b"not media at all"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, media_type string, content binary"
+    )
+    got = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert (got["m1"]["format"], got["m1"]["width"], got["m1"]["height"]) == ("png", 640, 480)
+    assert (got["m2"]["format"], got["m2"]["width"], got["m2"]["height"]) == ("gif", 32, 16)
+    assert (got["m3"]["format"], got["m3"]["width"], got["m3"]["height"]) == ("wav", 2, 44100)
+    assert got["m4"]["format"] == "jpeg" and got["m4"]["width"] is None
+    assert got["m5"]["format"] is None and got["m5"]["status"] == "ok"
+
+
+def test_media_decode_stub_and_fake(spark):
+    from azure_pdf_parser_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [("m1", "image", _png(8, 8))],
+        "media_ref string, media_type string, content binary",
+    )
+    # without a decoder: quarantined NotImplementedError, task survives
+    got = mm.decode_media(df).collect()[0]
+    assert got["status"] == "failed" and "NotImplementedError" in got["error"]
+
+    # with the deterministic fake: frame fan-out works end to end
+    mm.FAKE_DECODER = lambda content: {
+        "frames": [[float(len(content)), 1.0], [2.0, 3.0], [4.0, 5.0]]
+    }
+    try:
+        rows = mm.decode_media(df, frame_stride=2).collect()
+        assert [(r["frame_index"], r["features"]) for r in rows] == [
+            (0, [float(len(_png(8, 8))), 1.0]),
+            (1, [4.0, 5.0]),
+        ]
+    finally:
+        mm.FAKE_DECODER = None
