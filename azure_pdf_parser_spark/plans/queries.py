@@ -21,6 +21,7 @@ from azure_pdf_parser_spark.functions.text import (
     quality_sql,
 )
 from azure_pdf_parser_spark.operators import ann, dedup, extract_spans
+from azure_pdf_parser_spark.sources import layoutize
 from azure_pdf_parser_spark.sources.spanize import (
     BOILERPLATE_SQL_PREDICATE,
     SPANIZE_SQL_CTE,
@@ -203,6 +204,278 @@ def q_table_cell_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c.doc_id").isNotNull(), F.lit("TableCell"))
         .otherwise(F.col("p.kind"))
         .alias("kind"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layout-IR chain (SURVEY §2 O1, O3–O12, O19) through the driver gate.
+#
+# Spark runs the REAL operator chain over the deterministic layoutize
+# derivation: derive per-batch rows with LOCAL page numbers → O3
+# propagate → O4 ordered merge → O5/O6 tag → O7/O8 blocks → O9 tables →
+# O10 page metadata → O12 assembly (→ O19 flip). The DuckDB oracle
+# computes the expected merged-global end state directly in flat SQL —
+# a bug anywhere in the chain mismatches.
+# ---------------------------------------------------------------------------
+
+_LAYOUT_SQL = f"WITH {SPANIZE_SQL_CTE},{layoutize.LAYOUT_SQL_CTES}"
+
+
+def _assembled(spark: SparkSession, sf_dir: str, tables: bool = False) -> DataFrame:
+    from azure_pdf_parser_spark.operators.batching import merge_batches
+    from azure_pdf_parser_spark.operators.layout import assemble
+
+    merged = merge_batches(layoutize.derive_layout_batches(_docs(spark, sf_dir)))
+    return assemble(merged, experimental_extract_tables=tables)
+
+
+def _coords_flat(coords_col, prefix: str = "") -> list:
+    """x0..y3 columns (round 6) from a 4-point coords array column."""
+    out = []
+    for i in range(4):
+        pt = F.element_at(coords_col, i + 1)
+        out.append(F.round(pt.x, 6).alias(f"x{i}"))
+        out.append(F.round(pt.y, 6).alias(f"y{i}"))
+    return out
+
+
+_COORDS_SQL = """round(x0*72, 6) AS x0, round(y0*72, 6) AS y0,
+       round((x0+w)*72, 6) AS x1, round(y0*72, 6) AS y1,
+       round((x0+w)*72, 6) AS x2, round((y0+hh)*72, 6) AS y2,
+       round(x0*72, 6) AS x3, round((y0+hh)*72, 6) AS y3"""
+
+
+@query(
+    "layout_batch_plan",
+    _LAYOUT_SQL
+    + """
+SELECT n.doc_id,
+       CAST(t.b AS INT) AS batch_number,
+       CAST(t.b * 3 + 1 AS INT) AS first_page,
+       CAST(least(t.b * 3 + 3, n.n_pages) AS INT) AS last_page
+FROM doc_npages n
+CROSS JOIN LATERAL (
+    SELECT UNNEST(range(CAST(ceil(n.n_pages / 3.0) AS BIGINT))) AS b
+) t
+""",
+)
+def q_layout_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: page-batch plan — 1-based inclusive ranges, 0-based batch
+    numbers (reference utils.py:117-163 split math)."""
+    batches = layoutize.derive_layout_batches(_docs(spark, sf_dir))
+    return batches.select(
+        "doc_id",
+        "batch_number",
+        F.col("page_range.first").alias("first_page"),
+        F.col("page_range.last").alias("last_page"),
+    )
+
+
+@query(
+    "layout_text_blocks",
+    _LAYOUT_SQL
+    + f"""
+SELECT g.doc_id,
+       CAST(g.para_seq AS VARCHAR) AS text_block_id,
+       g.kind AS type,
+       g.text AS text,
+       {language_sql("l.doc_text")} AS language,
+       CAST(g.page - 1 AS INT) AS page_number,
+       {_COORDS_SQL}
+FROM para_geo g JOIN doc_lang l ON g.doc_id = l.doc_id
+""",
+)
+def q_layout_text_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3+O4+O5/O6+O7/O8+O13 end-to-end: batched local pages propagate
+    and merge back to global; TableCell-kind paragraphs (role NULL in the
+    IR) recover their type via the span semi-join; coords ×72, page −1;
+    every block stamped with the doc language."""
+    blocks = _assembled(spark, sf_dir).select(
+        "doc_id", F.explode("text_blocks").alias("b")
+    )
+    return blocks.select(
+        "doc_id",
+        F.col("b.text_block_id").alias("text_block_id"),
+        F.col("b.type").alias("type"),
+        F.col("b.text").alias("text"),
+        F.col("b.language").alias("language"),
+        F.col("b.page_number").alias("page_number"),
+        *_coords_flat(F.col("b.coords")),
+    )
+
+
+@query(
+    "layout_page_metadata",
+    _LAYOUT_SQL
+    + """
+SELECT doc_id, CAST(page - 1 AS INT) AS page_number,
+       round(width * 72, 6) AS width, round(height * 72, 6) AS height
+FROM doc_pages
+""",
+)
+def q_layout_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: per-page metadata — 0-based pages, inch → 72-ppi px."""
+    pages = _assembled(spark, sf_dir).select(
+        "doc_id", F.explode("page_metadata").alias("m")
+    )
+    return pages.select(
+        "doc_id",
+        F.col("m.page_number").alias("page_number"),
+        F.round("m.width", 6).alias("width"),
+        F.round("m.height", 6).alias("height"),
+    )
+
+
+@query(
+    "layout_table_blocks",
+    _LAYOUT_SQL
+    + f""",
+cells AS (
+    SELECT doc_id, ord, text, page, x0, y0, w, hh,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS cell_seq,
+           count(*) OVER (PARTITION BY doc_id) AS n_cells
+    FROM para_geo WHERE kind = 'TableCell'
+)
+SELECT doc_id,
+       '0' AS table_id,
+       CAST(ceil(n_cells / 2.0) AS INT) AS row_count,
+       CAST(least(n_cells, 2) AS INT) AS column_count,
+       CASE WHEN cell_seq < 2 THEN 'columnHeader' ELSE 'content' END AS cell_type,
+       CAST(floor(cell_seq / 2) AS INT) AS row_index,
+       CAST(cell_seq % 2 AS INT) AS column_index,
+       1 AS row_span,
+       1 AS column_span,
+       text AS content,
+       CAST(page - 1 AS INT) AS page_number,
+       {_COORDS_SQL}
+FROM cells
+""",
+)
+def q_layout_table_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 (experimental table path): flattened table-block cells with
+    ×72 regions and 0-based pages (reference convert.py:100-156)."""
+    tb = _assembled(spark, sf_dir, tables=True).select(
+        "doc_id", F.explode("table_blocks").alias("t")
+    )
+    cells = tb.select(
+        "doc_id",
+        F.col("t.table_id").alias("table_id"),
+        F.col("t.row_count").alias("row_count"),
+        F.col("t.column_count").alias("column_count"),
+        F.explode("t.cells").alias("c"),
+    )
+    region = F.element_at(F.col("c.bounding_regions"), 1)
+    return cells.select(
+        "doc_id",
+        "table_id",
+        "row_count",
+        "column_count",
+        F.col("c.cell_type").alias("cell_type"),
+        F.col("c.row_index").alias("row_index"),
+        F.col("c.column_index").alias("column_index"),
+        F.col("c.row_span").alias("row_span"),
+        F.col("c.column_span").alias("column_span"),
+        F.col("c.content").alias("content"),
+        region.page_number.alias("page_number"),
+        *_coords_flat(region.polygon),
+    )
+
+
+@query(
+    "layout_coord_flip",
+    _LAYOUT_SQL
+    + """
+SELECT g.doc_id,
+       CAST(g.para_seq AS VARCHAR) AS text_block_id,
+       round(g.x0*72, 6) AS x0,
+       round(p.height*72 - g.y0*72, 6) AS y0,
+       round((g.x0+g.w)*72, 6) AS x1,
+       round(p.height*72 - g.y0*72, 6) AS y1,
+       round((g.x0+g.w)*72, 6) AS x2,
+       round(p.height*72 - (g.y0+g.hh)*72, 6) AS y2,
+       round(g.x0*72, 6) AS x3,
+       round(p.height*72 - (g.y0+g.hh)*72, 6) AS y3
+FROM para_geo g
+JOIN doc_pages p ON g.doc_id = p.doc_id AND g.page = p.page
+""",
+)
+def q_layout_coord_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19: vertical coordinate flip y → page_height − y via the doc's
+    own ×72 page metadata (cpr-sdk semantics, exercised by reference
+    tests/test_convert.py:164-170)."""
+    from azure_pdf_parser_spark.operators.layout import flip_text_block_coords
+
+    flipped = flip_text_block_coords(_assembled(spark, sf_dir)).select(
+        "doc_id", F.explode("text_blocks").alias("b")
+    )
+    return flipped.select(
+        "doc_id",
+        F.col("b.text_block_id").alias("text_block_id"),
+        *_coords_flat(F.col("b.coords")),
+    )
+
+
+@query(
+    "reading_order",
+    _LAYOUT_SQL
+    + """
+SELECT doc_id,
+       CAST(page - 1 AS INT) AS page_number,
+       CAST(para_seq AS VARCHAR) AS text_block_id,
+       CAST(row_number() OVER (
+           PARTITION BY doc_id, page ORDER BY y0, x0, para_seq
+       ) AS INT) AS reading_rank
+FROM para_geo
+""",
+)
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order window (SURVEY §2.4 — the op the engine introduces):
+    row_number over (doc, page) ordered by (y, x). The window key is
+    (doc_id, page) — high cardinality, skew-free shuffle."""
+    from pyspark.sql.window import Window
+
+    blocks = _assembled(spark, sf_dir).select(
+        "doc_id", F.explode("text_blocks").alias("b")
+    )
+    tl = F.element_at(F.col("b.coords"), 1)
+    w = Window.partitionBy("doc_id", F.col("b.page_number")).orderBy(
+        tl.y.asc(), tl.x.asc(), F.col("b.text_block_id").cast("int").asc()
+    )
+    return blocks.select(
+        "doc_id",
+        (F.col("b.page_number")).alias("page_number"),
+        F.col("b.text_block_id").alias("text_block_id"),
+        F.row_number().over(w).alias("reading_rank"),
+    )
+
+
+@query(
+    "layout_quarantine",
+    f"""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+c AS (SELECT doc_id, {layoutize.CDN_SQL} AS cdn FROM d)
+SELECT doc_id,
+       CASE WHEN cdn IS NULL THEN 'failed'
+            WHEN lower(cdn) NOT LIKE '%.pdf' THEN 'failed'
+            ELSE 'ok' END AS status,
+       CASE WHEN cdn IS NULL THEN 'Document must have a CDN object. None provided.'
+            WHEN lower(cdn) NOT LIKE '%.pdf' THEN 'CDN object must be a PDF.'
+       END AS error
+FROM c
+""",
+)
+def q_layout_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 validation gate as quarantine: missing / non-PDF cdn_object
+    rows get status='failed' with the reference's exact messages
+    (convert.py:261-268) instead of a per-row raise."""
+    from azure_pdf_parser_spark.operators.batching import merge_batches
+    from azure_pdf_parser_spark.operators.layout import assemble
+
+    merged = merge_batches(
+        layoutize.derive_layout_batches(_docs(spark, sf_dir))
+    ).withColumn("cdn", layoutize.cdn_object_col(F.col("doc_id")))
+    return assemble(merged, cdn_object_col="cdn").select(
+        "doc_id", "status", "error"
     )
 
 
