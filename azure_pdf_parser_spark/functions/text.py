@@ -68,6 +68,19 @@ def token_count_expr(text: Column | str) -> Column:
 
 TOKEN_COUNT_SQL = "(CASE WHEN length({t}) = 0 THEN 0 ELSE len(string_split({t}, ' ')) END)"
 
+# BPE-ish pre-tokenizer regex (GPT-2-style split classes, simplified to
+# the subset whose semantics are identical in Java regex and RE2):
+# letter runs, digit runs, single non-alphanumeric-non-space chars.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+BPE_TOKEN_COUNT_SQL = "len(regexp_extract_all({t}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))"
+
 
 def quality_exprs(text: Column | str) -> dict[str, Column]:
     """Quality-scoring signals: length, tokens, avg token length,

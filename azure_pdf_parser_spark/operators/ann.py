@@ -125,6 +125,105 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+
+
+def ivf_assign(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, vec, norm, centroid_id): nearest-centroid assignment.
+
+    IVF coarse quantization with deterministic centroids — the vectors
+    with ``vec_id < N_CENTROIDS`` (at scale: a k-means fit on a sample,
+    persisted; the assignment plan is identical). The centroid table is
+    tiny and broadcast, so assignment is a narrow broadcast-nested-loop:
+    no shuffle of the big side.
+    """
+    from pyspark.sql.window import Window
+
+    base = with_norm(embeddings)
+    cents = base.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id",
+        "vec",
+        "norm",
+        "centroid_id",
+        F.round(
+            _dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm")), 6
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "vec", "norm", "centroid_id")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """IVF (nprobe=1) top-k: exact cosine within the probe's own
+    centroid list. Candidate generation is an equi-join on centroid_id —
+    O(sum of list²) instead of O(n²); at 10^9 vectors list sizes are
+    bounded by the centroid count chosen at fit time."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(embeddings)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.col("a.norm") * F.col("b.norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): near-duplicate pairs by embedding cosine,
+    LSH-bucketed — the embedding analog of the MinHash/SimHash text
+    dedups. Only within-bucket pairs are scored, so the shuffle keys on
+    the bucket id, never on an all-pairs product."""
+    base = with_norm(embeddings).withColumn("bucket", lsh_bucket_col(F.col("vec")))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm")),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # --- DuckDB oracles ----------------------------------------------------------
 
 _DOT_SQL = """
@@ -177,4 +276,63 @@ ranked AS (
     FROM pairs
 )
 SELECT vec_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+IVF_TOPK_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS centroid_id, vec AS cvec, norm AS cnorm FROM base WHERE vec_id < {c}
+),
+scored AS (
+    SELECT b.vec_id, b.vec, b.norm, c.centroid_id,
+           round(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                                i -> b.vec[i] * c.cvec[i]), 'sum')
+                 / (b.norm * c.cnorm), 6) AS ccos,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                                             i -> b.vec[i] * c.cvec[i]), 'sum')
+                                       / (b.norm * c.cnorm), 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, vec, norm, centroid_id FROM scored WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                                i -> a.vec[i] * b.vec[i]), 'sum')
+                 / (a.norm * b.norm), 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm,
+           array_to_string(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, {bits}),
+                           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                            i -> a.vec[i] * b.vec[i]), 'sum')
+             / (a.norm * b.norm), 6) AS cosine
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                           i -> a.vec[i] * b.vec[i]), 'sum')
+            / (a.norm * b.norm), 6) >= {threshold}
 """

@@ -1,0 +1,117 @@
+"""Event-stream operators in their batch form (tumbling windows,
+gap-based sessionization).
+
+The streaming module (streaming/stream_extract.py) runs the extraction
+pipeline under Structured Streaming; these are the windowed-aggregation
+analogs over the ``events`` table, expressed so the identical semantics
+run as a batch query (driver gate) and as a ``readStream`` plan (swap
+the source; the groupBy(window(...)) is unchanged, plus a watermark).
+
+Scale notes: the tumbling-window groupBy keys on (event_type, hour) —
+bounded cardinality per hour, map-side partial aggregation, one
+shuffle. Sessionization windows partition by user_id — high
+cardinality, skew-free; at 100 TB this is the classic two-pass
+lag→cumsum plan with a single shuffle on user_id reused by both window
+functions and the final groupBy (same partitioning, Catalyst plans one
+Exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SESSION_GAP_SECONDS = 1800
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + value sum.
+
+    In streaming form this is the same groupBy over ``readStream`` with
+    ``withWatermark("ts", "1 hour")``.
+    """
+    w = F.window("ts", "1 hour")
+    return (
+        events.groupBy(F.col("event_type"), w.alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOWED_COUNTS_SQL = f"""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``. Classic lag → flag →
+    running-sum plan; both window functions share one shuffle on
+    user_id. (The streaming equivalent is applyInPandasWithState /
+    session_window — see streaming/stream_extract.py.)
+    """
+    from pyspark.sql.window import Window
+
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ − NTZ → day-time interval: session-timezone-independent, unlike
+    # a cast to TIMESTAMP + unix_micros (which would shift across DST
+    # boundaries under a non-UTC session TZ)
+    prev_ts = F.lag("ts").over(order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr(f"INTERVAL {gap_seconds} SECONDS")),
+        1,
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_session = events.withColumn(
+        "session_idx", F.sum(new_session).over(running).cast("int")
+    )
+    return with_session.groupBy("user_id", "session_idx").agg(
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap} * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, event_id, ts, value,
+           CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INT) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+""".format(gap=SESSION_GAP_SECONDS)

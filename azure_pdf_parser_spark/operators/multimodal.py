@@ -112,6 +112,59 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
 
 
+def synth_media(spans_df: DataFrame) -> DataFrame:
+    """Deterministic media table from the corpus' media spans.
+
+    For each ``figure`` span (media_ref = 'media://' || h), synthesizes
+    a REAL 24-byte PNG header blob — magic + IHDR length/tag + width +
+    height big-endian — with ``width = 16·(nib1(h)+1)``,
+    ``height = 16·(nib2(h)+1)`` from the hash nibbles. The blob is built
+    JVM-side with unhex/lpad (no Python), and round-trips through the
+    REAL byte-level sniffing in :func:`extract_media_features`, so the
+    mapInPandas plumbing is exercised end-to-end against a SQL oracle
+    that predicts the parsed dimensions from the same nibbles.
+    """
+    from pyspark.sql import functions as F
+
+    spans = spans_df.select(F.explode("spans").alias("s")).where(
+        F.col("s.kind") == "figure"
+    )
+    h = F.substring(F.col("s.media_ref"), 9, 32)
+
+    def nib(i: int):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+
+    width = (16 * (nib(1) + 1)).cast("int")
+    height = (16 * (nib(2) + 1)).cast("int")
+    content = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),  # PNG magic + IHDR
+            F.lpad(F.hex(width), 8, "0"),
+            F.lpad(F.hex(height), 8, "0"),
+        )
+    )
+    return spans.select(
+        F.col("s.media_ref").alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        content.alias("content"),
+    )
+
+
+# Oracle: what extract_media_features(synth_media(...)) must produce,
+# predicted straight from the hash nibbles (the h after 'media://').
+MEDIA_FEATURES_SQL = """
+SELECT media_ref,
+       'image' AS media_type,
+       CAST(24 AS BIGINT) AS n_bytes,
+       'png' AS format,
+       CAST(16 * instr('0123456789abcdef', substr(media_ref, 9, 1)) AS INT) AS width,
+       CAST(16 * instr('0123456789abcdef', substr(media_ref, 10, 1)) AS INT) AS height,
+       'ok' AS status
+FROM spanize
+WHERE kind = 'figure'
+"""
+
+
 DECODED_SCHEMA = (
     "media_ref string, frame_index int, features array<float>, "
     "status string, error string"

@@ -20,7 +20,10 @@ from azure_pdf_parser_spark.functions.text import (
     quality_exprs,
     quality_sql,
 )
+from azure_pdf_parser_spark.functions import text as text_fns
 from azure_pdf_parser_spark.operators import ann, dedup, extract_spans
+from azure_pdf_parser_spark.operators import events as events_ops
+from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
 from azure_pdf_parser_spark.sources import layoutize
 from azure_pdf_parser_spark.sources.spanize import (
     BOILERPLATE_SQL_PREDICATE,
@@ -564,6 +567,77 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "token_stats",
+    f"""
+SELECT doc_id,
+       CAST({text_fns.TOKEN_COUNT_SQL.format(t='text')} AS BIGINT) AS ws_tokens,
+       CAST({text_fns.BPE_TOKEN_COUNT_SQL.format(t='text')} AS BIGINT) AS bpe_tokens,
+       round(length(text) / CAST({text_fns.BPE_TOKEN_COUNT_SQL.format(t='text')} AS DOUBLE), 6) AS chars_per_bpe_token
+FROM documents
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokenizer
+    (letter runs / digit runs / single punctuation) — both pure JVM-side
+    regexp, no Python."""
+    from azure_pdf_parser_spark.functions.text import (
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    bpe = bpe_token_count_expr("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_expr("text").cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+        F.round(F.length("text") / bpe, 6).alias("chars_per_bpe_token"),
+    )
+
+
+@query(
+    "media_features",
+    f"WITH {SPANIZE_SQL_CTE} {MEDIA_FEATURES_SQL}",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end through the driver gate: synthesize
+    real 24-byte PNG header blobs for every media span (JVM-side unhex),
+    then parse them back with the REAL byte-level mapInPandas feature
+    extractor; the oracle predicts the parsed dimensions from the hash
+    nibbles."""
+    from azure_pdf_parser_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(_spans(spark, sf_dir))
+    return extract_media_features(media).select(
+        "media_ref", "media_type", "n_bytes", "format", "width", "height", "status"
+    )
+
+
+@query("dedup_embedding_cosine", ann.EMBEDDING_NEAR_DUP_SQL.format(bits=ann.LSH_BITS, threshold=0.35))
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed candidate gen)."""
+    return ann.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query("events_windowed", events_ops.WINDOWED_COUNTS_SQL)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the events table — the
+    batch form of the Structured Streaming plan (same groupBy(window))."""
+    return events_ops.windowed_counts(load_table(spark, sf_dir, "events"))
+
+
+@query("events_sessionize", events_ops.SESSIONIZE_SQL)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag → flag → running sum →
+    per-session rollup, one shuffle on user_id shared by all steps."""
+    return events_ops.sessionize(load_table(spark, sf_dir, "events"))
+
+
 @query("ann_cosine_topk", ann.COSINE_TOPK_SQL.format(k=5))
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(load_table(spark, sf_dir, "embeddings"), k=5)
@@ -572,3 +646,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_lsh_cosine_topk", ann.LSH_COSINE_TOPK_SQL.format(k=5, bits=ann.LSH_BITS))
 def q_ann_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_cosine_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query("ann_ivf_topk", ann.IVF_TOPK_SQL.format(k=5, c=ann.N_CENTROIDS))
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (deterministic coarse centroids, nprobe=1) cosine top-k."""
+    return ann.ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5)
