@@ -9,12 +9,12 @@ they surface as status='failed' rows (reference skip-on-error
 semantics, run.py:27-39).
 
 * HTML: the dependency-free DOM parser in functions/html.py — real and
-  fully tested.
-* PDF: gated behind pypdf (not present in this sandbox). The Spark-side
-  plumbing — schema, batching, error channel — is identical; without
-  pypdf each PDF row degrades to a failed row carrying the reason, and
-  ``FAKE_PDF_PARSER`` can be monkeypatched in tests to a deterministic
-  stand-in to exercise the full path.
+  fully tested (gate query: html_parse).
+* PDF: the dependency-free mini extractor in functions/pdf.py —
+  uncompressed + FlateDecode content streams, text-state machine, image
+  XObject media spans (gate query: pdf_parse). Exotic stream filters
+  (DCT, LZW, …) quarantine with NotImplementedError; ``FAKE_PDF_PARSER``
+  remains the test seam for injecting synthetic layout results.
 """
 
 from __future__ import annotations
@@ -39,27 +39,13 @@ FAKE_PDF_PARSER: Optional[Callable[[bytes], list[dict]]] = None
 def _parse_pdf_bytes(content: bytes, fake_parser=None) -> list[dict]:
     if fake_parser is not None:
         return fake_parser(content)
-    try:
-        import pypdf  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "PDF decode requires pypdf, which is not installed in this "
-            "environment; HTML parsing is fully supported"
-        ) from e
-    # pypdf path (exercised only where pypdf exists): one Text span per
-    # page text run, page breaks as offsets into the concatenated text
-    from io import BytesIO
+    # dependency-free mini PDF extractor (functions/pdf.py): uncompressed
+    # and FlateDecode content streams, Tf/Td/Tm/Tj/TJ text state, ImX Do
+    # media spans, size/position kind classification. Unsupported stream
+    # filters raise NotImplementedError → per-doc quarantine.
+    from azure_pdf_parser_spark.functions.pdf import pdf_to_spans
 
-    reader = pypdf.PdfReader(BytesIO(content))
-    spans, offset = [], 0
-    for page in reader.pages:
-        text = (page.extract_text() or "").strip()
-        if text:
-            spans.append(
-                {"kind": "Text", "text": text, "media_ref": None, "offset": offset}
-            )
-            offset += len(text) + 1
-    return spans
+    return pdf_to_spans(content)
 
 
 def parse_documents(raw: DataFrame) -> DataFrame:

@@ -24,7 +24,7 @@ from azure_pdf_parser_spark.functions import text as text_fns
 from azure_pdf_parser_spark.operators import ann, dedup, extract_spans
 from azure_pdf_parser_spark.operators import events as events_ops
 from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
-from azure_pdf_parser_spark.sources import layoutize
+from azure_pdf_parser_spark.sources import htmlize, layoutize, pdfize
 from azure_pdf_parser_spark.sources.spanize import (
     BOILERPLATE_SQL_PREDICATE,
     SPANIZE_SQL_CTE,
@@ -152,6 +152,60 @@ WHERE counts.c > tot.n * 0.4
 def q_doc_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O14: per-span language votes → doc languages with proportion > 0.4."""
     return extract_spans.doc_languages(_spans(spark, sf_dir))
+
+
+@query(
+    "html_parse",
+    f"WITH {SPANIZE_SQL_CTE},{htmlize.HTML_PARSE_SQL_CTES}{htmlize.HTML_PARSE_SQL_SELECT}",
+)
+def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real DOM parser through the driver gate: deterministic HTML is
+    synthesized JVM-side (htmlize), parsed by the dependency-free
+    tokenizer/stack parser inside the mapInPandas stage (O2 analog), and
+    every emitted (kind, text, media_ref, offset) — including the
+    byte-exact offsets and DOM-path boilerplate kinds — must match the
+    running-sum prediction of the oracle."""
+    from azure_pdf_parser_spark.operators.parse import parse_documents
+    from azure_pdf_parser_spark.sources.htmlize import synth_html_documents
+
+    raw = synth_html_documents(_docs(spark, sf_dir))
+    parsed = parse_documents(raw)
+    ex = parsed.select("doc_id", F.posexplode("spans").alias("ord", "s"))
+    return ex.select(
+        "doc_id",
+        F.col("ord").cast("int").alias("ord"),
+        "s.kind",
+        "s.text",
+        "s.media_ref",
+        "s.offset",
+    )
+
+
+@query(
+    "pdf_parse",
+    f"WITH {SPANIZE_SQL_CTE},{pdfize.PDF_PARSE_SQL}",
+)
+def q_pdf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real PDF extractor through the driver gate: a minimal valid
+    single-page PDF is synthesized JVM-side (pdfize), parsed by the
+    dependency-free content-stream text-state machine inside the
+    mapInPandas stage, and every (kind, text, media_ref, offset) —
+    including byte-exact stream offsets and size/position kind
+    classification — must match the oracle's running-sum prediction."""
+    from azure_pdf_parser_spark.operators.parse import parse_documents
+    from azure_pdf_parser_spark.sources.pdfize import synth_pdf_documents
+
+    raw = synth_pdf_documents(_docs(spark, sf_dir))
+    parsed = parse_documents(raw)
+    ex = parsed.select("doc_id", F.posexplode("spans").alias("ord", "s"))
+    return ex.select(
+        "doc_id",
+        F.col("ord").cast("int").alias("ord"),
+        "s.kind",
+        "s.text",
+        "s.media_ref",
+        "s.offset",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""Deterministic text → PDF synthesis ("pdfize").
+
+Gate-checks the real dependency-free PDF extractor (functions/pdf.py,
+run through the mapInPandas parse stage) against the DuckDB oracle.
+Each document's text is chunked exactly like spanize (8-word runs,
+``h = md5(doc_id || ':' || i)``); chunk i becomes one content-stream
+fragment chosen by the first hex char of ``h``:
+
+    'a' → BT /F1 18 Tf 72 700 Td (text) Tj ET   (parser: title)
+    'b' → BT /F1 14 Tf 72 660 Td (text) Tj ET   (sectionHeading)
+    'c' → BT /F1 9 Tf 72 780 Td (text) Tj ET    (pageHeader — top band)
+    'd' → BT /F1 9 Tf 72 20 Td (text) Tj ET     (pageFooter — bottom band)
+    'f' → /Im{h} Do                              (figure media span)
+    else BT /F1 12 Tf 72 400 Td (text) Tj ET    (Text)
+
+Fragments concatenate into one uncompressed page content stream inside
+a minimal single-page PDF (catalog → pages → page → contents), built
+entirely with JVM string expressions — the only Python in the gate
+query is the parser under test. The parser's offsets are byte positions
+in the content stream, so the oracle predicts them with a running-sum
+window over the per-fragment lengths (27 + len(size) + len(y) +
+len(text) for text ops; 39 for Do ops).
+
+The FlateDecode path (zlib-compressed streams) can't be built JVM-side;
+it is pinned by pytest with a Python-synthesized compressed twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from azure_pdf_parser_spark.sources.spanize import WORDS_PER_SPAN
+
+# hex char → (font size, y, parsed kind)
+PDF_KINDS = {
+    "a": ("18", "700", "title"),
+    "b": ("14", "660", "sectionHeading"),
+    "c": ("9", "780", "pageHeader"),
+    "d": ("9", "20", "pageFooter"),
+}
+DEFAULT_SIZE_Y = ("12", "400")
+
+_HEADER = (
+    "%PDF-1.4\n"
+    "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+    "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+    "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+    "/Contents 4 0 R >> endobj\n"
+    "4 0 obj << /Length "
+)
+_FOOTER = "endstream\nendobj\n%%EOF\n"
+
+
+def pdf_col(doc_id: Column, text: Column) -> Column:
+    """One PDF document (string; encode to binary at the source)."""
+    words = F.split(text, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(WORDS_PER_SPAN))).cast("int")
+
+    def fragment(i: Column) -> Column:
+        chunk_text = F.array_join(
+            F.slice(words, i * WORDS_PER_SPAN + 1, WORDS_PER_SPAN), " "
+        )
+        h = F.md5(F.concat(doc_id.cast("string"), F.lit(":"), i.cast("string")))
+        c1 = F.substring(h, 1, 1)
+
+        def text_frag(size: str, y: str) -> Column:
+            return F.concat(
+                F.lit(f"BT /F1 {size} Tf 72 {y} Td ("),
+                chunk_text,
+                F.lit(") Tj ET\n"),
+            )
+
+        expr = text_frag(*DEFAULT_SIZE_Y)
+        for hexc, (size, y, _) in PDF_KINDS.items():
+            expr = F.when(c1 == hexc, text_frag(size, y)).otherwise(expr)
+        return F.when(
+            c1 == "f", F.concat(F.lit("/Im"), h, F.lit(" Do\n"))
+        ).otherwise(expr)
+
+    stream = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), fragment), ""
+    )
+    return F.concat(
+        F.lit(_HEADER),
+        F.length(stream).cast("string"),
+        F.lit(" >>\nstream\n"),
+        stream,
+        F.lit(_FOOTER),
+    )
+
+
+def synth_pdf_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_type='application/pdf', content binary) rows."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("application/pdf").alias("content_type"),
+        F.encode(pdf_col(F.col("doc_id"), F.col("text")), "UTF-8").alias("content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle: predicted spans of pdf_to_spans(pdf_col(...)), over the spanize
+# CTE (which carries the chunk hash h and chunk text).
+# ---------------------------------------------------------------------------
+
+_KIND_CASE = (
+    "CASE substr(h, 1, 1) "
+    + " ".join(f"WHEN '{c}' THEN '{k}'" for c, (_, _, k) in PDF_KINDS.items())
+    + " WHEN 'f' THEN 'figure' ELSE 'Text' END"
+)
+_FRAGLEN_CASE = (
+    "CASE substr(h, 1, 1) "
+    + " ".join(
+        f"WHEN '{c}' THEN {27 + len(s) + len(y)} + length(text)"
+        for c, (s, y, _) in PDF_KINDS.items()
+    )
+    + " WHEN 'f' THEN 39 "
+    + f"ELSE {27 + len(DEFAULT_SIZE_Y[0]) + len(DEFAULT_SIZE_Y[1])} + length(text) END"
+)
+
+PDF_PARSE_SQL = f"""
+plen AS (
+    SELECT doc_id, ord, h, text,
+           {_KIND_CASE} AS kind,
+           {_FRAGLEN_CASE} AS frag_len
+    FROM spanize
+)
+SELECT doc_id,
+       CAST(ord AS INT) AS ord,
+       kind,
+       CASE WHEN kind = 'figure' THEN NULL ELSE text END AS text,
+       CASE WHEN kind = 'figure' THEN 'media://' || h END AS media_ref,
+       CAST(coalesce(sum(frag_len) OVER (
+           PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS INT) AS "offset"
+FROM plen
+"""

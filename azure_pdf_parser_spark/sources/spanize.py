@@ -123,6 +123,7 @@ spanize AS (
              ELSE array_to_string(list_slice(w.words, t.i * 8 + 1, t.i * 8 + 8), ' ')
         END                                                 AS text,
         CASE WHEN substr(h.h, 1, 1) = 'f' THEN 'media://' || h.h END AS media_ref,
+        h.h                                                 AS h,
         CAST(CASE WHEN t.i = 0 THEN 0
                   ELSE length(array_to_string(list_slice(w.words, 1, t.i * 8), ' ')) + 1
              END AS INT)                                    AS offset

@@ -50,6 +50,15 @@ BENCH_QUERIES = [
     "fingerprint_winnow",
     "dedup_simhash",
     "ann_lsh_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "layout_text_blocks",
+    "html_parse",
+    "pdf_parse",
+    "token_stats",
+    "media_features",
+    "events_windowed",
+    "events_sessionize",
 ]
 
 

@@ -83,11 +83,20 @@ def test_parse_documents_stage(spark):
     from azure_pdf_parser_spark.operators.parse import parse_documents
     from azure_pdf_parser_spark.schemas import RAW_DOCUMENT
 
+    pdf_ok = (
+        b"%PDF-1.4\n4 0 obj << /Length 40 >>\nstream\n"
+        b"BT /F1 18 Tf 72 700 Td (A Title) Tj ET\nendstream\nendobj\n"
+    )
+    pdf_bad = (
+        b"%PDF-1.4\n4 0 obj << /Length 1 /Filter /DCTDecode >>\nstream\nx"
+        b"endstream\nendobj\n"
+    )
     rows = [
         ("h1", "text/html", DOC.encode()),
         ("h2", "text/html", b"<p>tiny</p>"),
-        ("p1", "application/pdf", b"%PDF-1.4 fake"),  # pypdf absent → failed
-        ("x1", "image/png", b"\x89PNG"),              # unsupported → failed
+        ("p1", "application/pdf", pdf_ok),   # real mini-extractor path
+        ("p2", "application/pdf", pdf_bad),  # exotic filter → quarantined
+        ("x1", "image/png", b"\x89PNG"),     # unsupported → failed
     ]
     raw = spark.createDataFrame(rows, RAW_DOCUMENT)
     parsed = parse_documents(raw)
@@ -95,7 +104,9 @@ def test_parse_documents_stage(spark):
 
     assert got["h1"]["status"] == "ok" and len(got["h1"]["spans"]) == 14
     assert got["h2"]["spans"][0]["text"] == "tiny"
-    assert got["p1"]["status"] == "failed" and "NotImplementedError" in got["p1"]["error"]
+    assert got["p1"]["status"] == "ok"
+    assert [(s["kind"], s["text"]) for s in got["p1"]["spans"]] == [("title", "A Title")]
+    assert got["p2"]["status"] == "failed" and "NotImplementedError" in got["p2"]["error"]
     assert got["x1"]["status"] == "failed" and "unsupported content type" in got["x1"]["error"]
 
     out = extract(parsed.where("status = 'ok'").select("doc_id", "spans"))
