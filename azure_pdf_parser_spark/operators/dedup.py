@@ -73,8 +73,17 @@ shingles AS (
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.3) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle with exact
     Jaccard ≥ threshold. The shared-shingle equi-join IS the candidate
-    generation — no O(n²) cross join ever materializes."""
-    sh = shingles(documents)
+    generation — no O(n²) cross join ever materializes.
+
+    The join key is ``xxhash64(shingle)`` (8 bytes) rather than the
+    shingle string (~25–40 bytes): the self-join shuffles both sides on
+    the key, so the fixed-width hash cuts shuffle bytes ~4× at any
+    scale. A 64-bit collision would merge two distinct shingles — at
+    10^12 docs × ~10² shingles the birthday bound is ~10^-5 of one
+    miscounted pair, far below the threshold granularity."""
+    sh = shingles(documents).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -140,7 +149,10 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 
 def lsh_bands(documents: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash): md5 of each 4-minhash band."""
-    sig = minhash_signatures(documents)
+    return bands_from_signatures(minhash_signatures(documents))
+
+
+def bands_from_signatures(sig: DataFrame) -> DataFrame:
     rows_per_band = N_MINHASH // N_BANDS
     bands = F.array(
         *[
@@ -178,6 +190,79 @@ def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
     )
 
 
+def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): sketch-estimated Jaccard for LSH
+    candidate pairs — matching minhash count / 16.
+
+    The signature is computed ONCE and reused for both band bucketing
+    and estimation (no recompute of the shingle explode); the candidate
+    join and the two signature joins all key on doc ids / band hashes —
+    uniform, broadcast-able when the candidate set is small.
+    """
+    sig = minhash_signatures(documents)
+    bands = bands_from_signatures(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{s:02d}").alias(f"a_{s:02d}") for s in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{s:02d}").alias(f"b_{s:02d}") for s in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{s:02d}") == F.col(f"b_{s:02d}"), 1).otherwise(0)
+        for s in range(N_MINHASH)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(N_MINHASH)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_est_sql_sum() -> str:
+    return " + ".join(
+        f"CASE WHEN sa.mh_{s:02d} = sb.mh_{s:02d} THEN 1 ELSE 0 END"
+        for s in range(N_MINHASH)
+    )
+
+
+def exact_dup_clusters(documents: DataFrame) -> DataFrame:
+    """(doc_id, canonical_doc_id): every doc mapped to the min doc_id of
+    its exact-content cluster — the *apply* step of exact dedup (keep row
+    where doc_id = canonical_doc_id, or rewrite references).
+
+    One window over the md5 content hash: a single shuffle on a uniform
+    key; no join, no second pass over the text.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    return documents.select(
+        "doc_id", F.min("doc_id").over(w).alias("canonical_doc_id")
+    )
+
+
+EXACT_DUP_CLUSTERS_SQL = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id
+FROM documents
+"""
+
+
 def _minhash_sql_aggs() -> str:
     return ",\n           ".join(
         f"min(md5('{s}:' || shingle)) AS mh_{s:02d}" for s in range(N_MINHASH)
@@ -205,6 +290,25 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+)
+
+_MINHASH_CAND_CTES = MINHASH_LSH_SQL.rsplit("SELECT DISTINCT", 1)[0] + """,
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+"""
+
+MINHASH_ESTIMATE_SQL = (
+    _MINHASH_CAND_CTES
+    + f"""
+SELECT c.doc_a, c.doc_b,
+       round(({_minhash_est_sql_sum()}) / 16.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
 """
 )
 
@@ -303,6 +407,117 @@ SELECT doc_id,
        string_agg(substr('0123456789abcdef', nib + 1, 1), '' ORDER BY pos) AS simhash
 FROM nibbles GROUP BY doc_id
 """
+
+
+# --- SimHash hamming near-dup pairs ------------------------------------------
+
+# popcount lookup for a 4-bit nibble: POPCOUNT_NIBBLE[v] = bits set in v
+_POPCOUNT_NIBBLE = "0112122312232334"
+_HEX = "0123456789abcdef"
+SIMHASH_BANDS = 8  # 8 bands × 4 nibbles = 16 bits per band
+MAX_HAMMING = 7  # pigeonhole: ≤7 differing bits touch ≤7 of 8 bands →
+#                  every qualifying pair is guaranteed to share a band
+
+
+def _nib(col, i):
+    """Value 0–15 of hex digit ``i`` (1-based) of a hex-string column."""
+    return F.instr(F.lit(_HEX), F.substring(col, i, 1)) - 1
+
+
+def _hamming_expr(a, b):
+    """Bit-level hamming distance between two 32-nibble hex fingerprints:
+    per-position popcount of the nibble XOR, via a 16-entry lookup string
+    — pure codegen, no UDF."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.substring(
+            F.lit(_POPCOUNT_NIBBLE), _nib(a, i).bitwiseXOR(_nib(b, i)) + 1, 1
+        ).cast("int"),
+    )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup pairs with simhash hamming
+    distance ≤ ``max_hamming`` bits (of 128).
+
+    Scale path: candidates come from an equi-join on 16-bit bands of the
+    fingerprint (8 bands), never a cross join. With ``max_hamming ≤ 7``
+    the band recall is *exact* by pigeonhole — ≤7 differing bits cannot
+    touch all 8 bands — so the result is the complete pair set, computed
+    with one self-join whose key (band_idx, 4 hex chars) is
+    hash-uniform. The verify step is an array-local popcount expression.
+    """
+    sim = simhash(documents)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring("simhash", b * 4 + 1, 4).alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band_idx", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            _hamming_expr(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+SIMHASH_PAIRS_SQL = (
+    "WITH sim AS ("
+    + SIMHASH_SQL
+    + """),
+bands AS (
+    SELECT doc_id, simhash, b.band_idx,
+           substr(simhash, b.band_idx * 4 + 1, 4) AS band_val
+    FROM sim
+    CROSS JOIN LATERAL (SELECT UNNEST(range(0, 8)) AS band_idx) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+),
+ham AS (
+    SELECT doc_a, doc_b,
+           CAST((
+               SELECT sum(CAST(substr('0112122312232334',
+                   xor(instr('0123456789abcdef', substr(sim_a, CAST(i AS INT), 1)) - 1,
+                       instr('0123456789abcdef', substr(sim_b, CAST(i AS INT), 1)) - 1) + 1,
+                   1) AS INT))
+               FROM range(1, 33) t(i)
+           ) AS INT) AS hamming
+    FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {max_hamming}
+"""
+)
 
 
 # --- winnowing fingerprints ---------------------------------------------------

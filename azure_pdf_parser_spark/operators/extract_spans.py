@@ -58,16 +58,29 @@ def extract(documents: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFram
     """documents(doc_id, spans) → parser_output-shaped rows (no shuffle).
 
     ``passthrough`` names extra input columns to carry into the output
-    (e.g. the skew bucket, for manifest lineage)."""
+    (e.g. the skew bucket, for manifest lineage).
+
+    Staged as three projections on purpose: ``spans`` (the kept array)
+    and ``_doc_text`` are materialized once each, so the final
+    projection is lambda-free — it lands in whole-stage codegen where
+    the language CASE's repeated score references are CSE'd. A single
+    select would inline the higher-order-function tree ~24× (every
+    inlined copy gets fresh lambda-variable ids, which defeats codegen
+    subexpression elimination), re-evaluating the span filter/transform
+    per reference. CollapseProject will not undo the staging: the
+    staged columns are non-cheap and multi-referenced.
+    """
     kept = kept_spans_col(F.col("spans"))
-    text = doc_text_col(kept)
-    return documents.select(
+    staged = documents.select(
+        "doc_id", *passthrough, kept.alias("spans")
+    ).withColumn("_doc_text", doc_text_col(F.col("spans")))
+    return staged.select(
         "doc_id",
         *passthrough,
-        kept.alias("spans"),
-        F.md5(text).alias("document_md5_sum"),
-        language_expr(text).alias("language"),
-        F.size(kept).cast("bigint").alias("span_count"),
+        "spans",
+        F.md5("_doc_text").alias("document_md5_sum"),
+        language_expr(F.col("_doc_text")).alias("language"),
+        F.size("spans").cast("bigint").alias("span_count"),
         F.lit(False).alias("translated"),
         F.lit("ok").alias("status"),
     )

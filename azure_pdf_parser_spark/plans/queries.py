@@ -9,6 +9,7 @@ over the same parquet for the driver's correctness gate
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -606,6 +607,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
+@query("minhash_jaccard_estimate", dedup.MINHASH_ESTIMATE_SQL)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated Jaccard (matching minhashes / 16) for every LSH
+    candidate pair — signatures computed once, reused for banding and
+    estimation."""
+    return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
+
+
+@query("dedup_exact_clusters", dedup.EXACT_DUP_CLUSTERS_SQL)
+def q_dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup apply step: every doc → canonical min(doc_id) of its
+    content-hash cluster (one window shuffle on the uniform md5 key)."""
+    return dedup.exact_dup_clusters(_docs(spark, sf_dir))
+
+
 @query("dedup_simhash", dedup.SIMHASH_SQL)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
@@ -614,6 +630,51 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("fingerprint_winnow", dedup.WINNOW_SQL)
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_simhash_pairs",
+    dedup.SIMHASH_PAIRS_SQL.format(max_hamming=dedup.MAX_HAMMING),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band bucketing (exact recall for
+    hamming ≤ 7 by pigeonhole) + codegen popcount verify — the hamming
+    analog of MinHash LSH, one hash-uniform self-join, no cross join."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "stream_extract",
+    _KEPT_SQL + "SELECT doc_id, ord, kind, text, media_ref FROM kept",
+)
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the correctness gate: the availableNow
+    file-source stream runs the SAME extraction operators micro-batched
+    with checkpointed exactly-once file-sink semantics, and its drained
+    output must byte-match the batch oracle — streaming/batch parity is
+    the invariant, not a weaker rows-only check."""
+    import shutil
+    import tempfile
+
+    from azure_pdf_parser_spark.streaming.stream_extract import start_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_gate_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    os.makedirs(in_dir)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"), f"{in_dir}/part-000.parquet"
+    )
+    q = start_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    ex = out.select("doc_id", F.explode("spans").alias("s"))
+    return ex.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("s.offset").alias("ord"),
+        "s.kind",
+        "s.text",
+        "s.media_ref",
+    )
 
 
 # ---------------------------------------------------------------------------

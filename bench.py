@@ -45,10 +45,13 @@ BENCH_QUERIES = [
     "quality_scores",
     "langid",
     "dedup_exact",
+    "dedup_exact_clusters",
     "dedup_minhash_lsh",
+    "minhash_jaccard_estimate",
     "dedup_ngram_jaccard",
     "fingerprint_winnow",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
