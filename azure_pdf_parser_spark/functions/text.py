@@ -37,14 +37,34 @@ def language_expr(text: Column | str) -> Column:
     argmax over per-language stopword-hit counts; ties go to the
     lexicographically smallest code (deterministic — the analog of the
     reference's seed pinning).
+
+    Built so each per-language score expression appears EXACTLY ONCE:
+    argmax = array_max over (score, -lang_index) structs (struct
+    comparison is field-order lexicographic, so max score wins and ties
+    go to the smallest index), and the winner struct is consumed through
+    a single-element transform() whose lambda variable is a cheap slot
+    reference. The naive greatest+CASE chain references every score ~6×
+    — harmless under whole-stage codegen CSE, but a 6× real cost inside
+    array lambdas (per-span voting), where codegen cannot reach.
     """
-    scores = {lang: _score(text, lang) for lang in LANG_STOPWORDS}
-    best = F.greatest(*scores.values())
-    expr = F.lit(None).cast("string")
-    # build reversed so earlier langs win ties
-    for lang in reversed(list(LANG_STOPWORDS)):
-        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
-    return F.when(best == 0, F.lit(None).cast("string")).otherwise(expr)
+    ranked = F.array_max(
+        F.array(
+            *[
+                F.struct(_score(text, lang).alias("s"), F.lit(-i).alias("r"))
+                for i, lang in enumerate(LANG_STOPWORDS)
+            ]
+        )
+    )
+    langs = F.array(*[F.lit(lang) for lang in LANG_STOPWORDS])
+    return F.element_at(
+        F.transform(
+            F.array(ranked),
+            lambda w: F.when(w.s == 0, F.lit(None).cast("string")).otherwise(
+                F.element_at(langs, -w.r + 1)
+            ),
+        ),
+        1,
+    )
 
 
 def language_sql(text_sql: str) -> str:

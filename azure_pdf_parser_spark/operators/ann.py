@@ -171,7 +171,10 @@ def ivf_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     bounded by the centroid count chosen at fit time."""
     from pyspark.sql.window import Window
 
-    assigned = ivf_assign(embeddings)
+    # persisted: the assignment (broadcast score + argmin window) feeds
+    # both sides of the within-list self-join — at production scale the
+    # assigned table is the persisted IVF index itself
+    assigned = ivf_assign(embeddings).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,

@@ -419,71 +419,99 @@ MAX_HAMMING = 7  # pigeonhole: ≤7 differing bits touch ≤7 of 8 bands →
 #                  every qualifying pair is guaranteed to share a band
 
 
-def _nib(col, i):
-    """Value 0–15 of hex digit ``i`` (1-based) of a hex-string column."""
-    return F.instr(F.lit(_HEX), F.substring(col, i, 1)) - 1
+def _words_expr(sim) -> list:
+    """The 8 16-bit words of a 32-nibble hex fingerprint as int columns
+    (conv is JVM codegen; 16 bits never overflows int)."""
+    return [
+        F.conv(F.substring(sim, b * 4 + 1, 4), 16, 10).cast("int")
+        for b in range(SIMHASH_BANDS)
+    ]
 
 
-def _hamming_expr(a, b):
-    """Bit-level hamming distance between two 32-nibble hex fingerprints:
-    per-position popcount of the nibble XOR, via a 16-entry lookup string
-    — pure codegen, no UDF."""
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(32)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.substring(
-            F.lit(_POPCOUNT_NIBBLE), _nib(a, i).bitwiseXOR(_nib(b, i)) + 1, 1
-        ).cast("int"),
-    )
+def _hamming_words(wa, wb):
+    """Bit-level hamming distance from two 8×16-bit word arrays:
+    Σ bit_count(xor) — pure integer codegen, no lambdas, no strings."""
+    return sum(
+        F.bit_count(
+            F.element_at(wa, b + 1).bitwiseXOR(F.element_at(wb, b + 1))
+        )
+        for b in range(SIMHASH_BANDS)
+    ).cast("int")
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
     """(doc_a, doc_b, hamming): near-dup pairs with simhash hamming
     distance ≤ ``max_hamming`` bits (of 128).
 
-    Scale path: candidates come from an equi-join on 16-bit bands of the
-    fingerprint (8 bands), never a cross join. With ``max_hamming ≤ 7``
-    the band recall is *exact* by pigeonhole — ≤7 differing bits cannot
-    touch all 8 bands — so the result is the complete pair set, computed
-    with one self-join whose key (band_idx, 4 hex chars) is
-    hash-uniform. The verify step is an array-local popcount expression.
+    Scale path, two-level: (1) hamming runs on DISTINCT FINGERPRINT
+    pairs, not doc pairs — exact-duplicate clusters (the common case in
+    a crawl) collapse to one fingerprint, so the ~128-string-op popcount
+    is O(distinct-fp candidate pairs), while the final doc-level
+    expansion is a cheap equi-join on the fingerprint. (2) fingerprint
+    candidates come from an equi-join on 16-bit bands (8 bands), never a
+    cross join; with ``max_hamming ≤ 7`` band recall is *exact* by
+    pigeonhole — ≤7 differing bits cannot touch all 8 bands. The
+    fingerprint table is persisted: it feeds the band join and both
+    sides of the expansion (at production scale it would be a
+    checkpointed Iceberg table).
     """
-    sim = simhash(documents)
-    bands = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.substring("simhash", b * 4 + 1, 4).alias("band_val"),
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    sims = simhash(documents).persist()
+    # the distinct-fingerprint table is persisted too: it feeds both
+    # sides of the band self-join (at production scale both sims and fps
+    # would be checkpointed Iceberg tables between stages)
+    fps = (
+        sims.select("simhash")
+        .distinct()
+        .select("simhash", F.array(*_words_expr(F.col("simhash"))).alias("w"))
+        .persist()
+    )
+    bands = fps.select(
+        "simhash", "w", F.posexplode("w").alias("band_idx", "band_val")
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    wa, wb = F.col("a.w"), F.col("b.w")
+    # first-matching-band dedup (classic LSH): keep a candidate row only
+    # when no EARLIER band also matches — every fingerprint pair survives
+    # exactly once, with no distinct/shuffle. Static AND-chain per
+    # band_idx value so the predicate stays in whole-stage codegen.
+    no_earlier_match = F.lit(True)
+    for bi in range(1, SIMHASH_BANDS):
+        chain = F.lit(True)
+        for e in range(bi):
+            chain = chain & (
+                F.element_at(wa, e + 1) != F.element_at(wb, e + 1)
+            )
+        no_earlier_match = F.when(
+            F.col("band_idx") == bi, chain
+        ).otherwise(no_earlier_match)
+    fp_pairs = (
         a.join(b, on=["band_idx", "band_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(F.col("a.simhash") <= F.col("b.simhash"))
+        .where(no_earlier_match)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            _hamming_expr(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
+            _hamming_words(wa, wb).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+    da = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    db = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    # orientation: for sim_a < sim_b each unordered doc pair appears once
+    # (one doc from each group) — canonicalize with least/greatest; for
+    # sim_a = sim_b the self-join yields both orders — keep doc_a < doc_b
+    return (
+        fp_pairs.join(da, "sim_a")
+        .join(db, "sim_b")
+        .where(
+            (F.col("sim_a") != F.col("sim_b"))
+            | (F.col("doc_a") < F.col("doc_b"))
+        )
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "hamming",
+        )
     )
 
 

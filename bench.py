@@ -136,19 +136,44 @@ def bench_queries(spark) -> dict[str, float]:
     return timings
 
 
-def _measure_cores(cores: int, amplify: int, n_base_docs: int, reps: int = 2) -> float:
-    """Best-of-reps flagship docs/sec at local[cores] (fresh session)."""
-    spark = make_session(cores)
+SCALING_FILES = 256  # file count of the materialized corpus → split count
+
+
+def materialize_amplified(sf_dir: str, factor: int, path: str) -> None:
+    """Write the amplified corpus once as a many-file parquet so both
+    parallelism tiers read the IDENTICAL input with IDENTICAL splits —
+    the sandbox proxy of 'same table, two cluster sizes'. Keeping the
+    amplification explode out of the measured region matters: in-plan
+    amplification put a near-serial explode+shuffle inside the timing,
+    whose fixed cost dominates as the engine gets faster."""
+    spark = make_session(CPUS)
     try:
-        df = flagship(spark, SF_DIR, amplify)
-        run_noop(df)  # warm (read cache, codegen)
-        best = min(
-            _timed(lambda: run_noop(df)) for _ in range(reps)
-        )
+        amplified_documents(spark, sf_dir, factor).repartition(
+            SCALING_FILES
+        ).write.mode("overwrite").parquet(path)
     finally:
         spark.stop()
-    rate = n_base_docs * amplify / best
-    log(f"  scaling local[{cores}] x{amplify}: {best:.2f}s ({rate:.0f} docs/s)")
+
+
+def _measure_cores(cores: int, input_path: str, n_docs: int, reps: int = 2) -> float:
+    """Best-of-reps flagship docs/sec at local[cores] (fresh session).
+
+    maxPartitionBytes is pinned so every file is its own split at BOTH
+    tiers — the task layout is a property of the data, not of the
+    cluster size, exactly as on a real cluster."""
+    from azure_pdf_parser_spark.operators.extract_spans import extract
+    from azure_pdf_parser_spark.sources.spanize import derive_spans
+
+    spark = make_session(cores)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    try:
+        df = extract(derive_spans(spark.read.parquet(input_path)))
+        run_noop(df)  # warm (page cache, codegen, broadcast)
+        best = min(_timed(lambda: run_noop(df)) for _ in range(reps))
+    finally:
+        spark.stop()
+    rate = n_docs / best
+    log(f"  scaling local[{cores}] {n_docs} docs: {best:.2f}s ({rate:.0f} docs/s)")
     return rate
 
 
@@ -165,29 +190,41 @@ def bench_scaling(n_base_docs: int) -> dict:
     oversubscription / memory bandwidth — see BENCH/BASELINE.md), so the
     N→4N evidence is reported at two tiers: an unsaturated pair
     (CPUS/16 → CPUS/4, e.g. 2→8) representing per-executor scaling on a
-    real cluster, and the full-host pair (CPUS/4 → CPUS)."""
+    real cluster, and the full-host pair (CPUS/4 → CPUS). Each pair
+    reads an identical pre-materialized many-file corpus; the workload
+    is sized so the high tier's elapsed time dwarfs fixed job overhead."""
+    import shutil
+    import tempfile
+
     tiers = []
     # each pair sizes its workload to its cores so runtimes stay in the
     # tens-of-seconds regime (within-pair comparability is what matters)
     pairs = [
-        (max(CPUS // 16, 1), max(CPUS // 4, 4), max(SCALING_AMPLIFY // 4, 1)),
-        (max(CPUS // 4, 2), CPUS, SCALING_AMPLIFY),
+        (max(CPUS // 16, 1), max(CPUS // 4, 4), SCALING_AMPLIFY // 2),
+        (max(CPUS // 4, 2), CPUS, SCALING_AMPLIFY * 2),
     ]
-    for lo, hi, amplify in pairs:
-        rate_lo = _measure_cores(lo, amplify, n_base_docs)
-        rate_hi = _measure_cores(hi, amplify, n_base_docs)
-        speedup = rate_hi / rate_lo
-        tiers.append(
-            {
-                "cores_lo": lo,
-                "cores_hi": hi,
-                "amplify": amplify,
-                "docs_per_sec_lo": round(rate_lo, 1),
-                "docs_per_sec_hi": round(rate_hi, 1),
-                "speedup": round(speedup, 3),
-                "efficiency": round(speedup / (hi / lo), 3),
-            }
-        )
+    tmp_root = tempfile.mkdtemp(prefix="bench_scaling_")
+    try:
+        for lo, hi, amplify in pairs:
+            path = os.path.join(tmp_root, f"docs_x{amplify}.parquet")
+            materialize_amplified(SF_DIR, amplify, path)
+            n_docs = n_base_docs * amplify
+            rate_lo = _measure_cores(lo, path, n_docs)
+            rate_hi = _measure_cores(hi, path, n_docs)
+            speedup = rate_hi / rate_lo
+            tiers.append(
+                {
+                    "cores_lo": lo,
+                    "cores_hi": hi,
+                    "amplify": amplify,
+                    "docs_per_sec_lo": round(rate_lo, 1),
+                    "docs_per_sec_hi": round(rate_hi, 1),
+                    "speedup": round(speedup, 3),
+                    "efficiency": round(speedup / (hi / lo), 3),
+                }
+            )
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
     best = max(tiers, key=lambda t: t["efficiency"])
     return {
         "tiers": tiers,
