@@ -558,6 +558,20 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("repetition_stats", text_fns.REPETITION_STATS_SQL)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: word-bigram counts and
+    the top bigram's share per doc (high share ⇒ spam/boilerplate)."""
+    return text_fns.repetition_stats(_docs(spark, sf_dir))
+
+
+@query("vocab_topk", text_fns.VOCAB_TOPK_SQL.format(k=100))
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: global token counts, deterministic
+    top-100 by (count DESC, token ASC)."""
+    return text_fns.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
 @query(
     "langid",
     f"SELECT doc_id, {language_sql('text')} AS language FROM documents",
@@ -751,6 +765,57 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap): lag → flag → running sum →
     per-session rollup, one shuffle on user_id shared by all steps."""
     return events_ops.sessionize(load_table(spark, sf_dir, "events"))
+
+
+# the WITH-prefix of SESSIONIZE_SQL (everything before its final SELECT)
+# + the closed-prefix projection: all sessions minus each user's last
+_STATEFUL_SESSIONS_SQL = (
+    events_ops.SESSIONIZE_SQL.rsplit("SELECT user_id, session_idx,", 1)[0]
+    + """
+, agg AS (
+    SELECT user_id, session_idx,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM sessions GROUP BY user_id, session_idx
+),
+last AS (SELECT user_id, max(session_idx) AS mx FROM agg GROUP BY user_id)
+SELECT a.user_id, a.session_start, a.n_events, a.total_value
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.session_idx < l.mx
+"""
+)
+
+
+@query("stream_stateful_sessions", _STATEFUL_SESSIONS_SQL)
+def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer through the gate: events
+    stream in two time-ordered micro-batches, per-user session state
+    survives the state store, and every CLOSED session emitted must
+    equal the SQL prediction (all sessions minus each user's still-open
+    final one)."""
+    import tempfile
+
+    import duckdb
+
+    from azure_pdf_parser_spark.streaming.stateful import (
+        start_stateful_sessionize,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = tempfile.mkdtemp(prefix="stateful_gate_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    os.makedirs(in_dir)
+    mid = duckdb.sql(f"SELECT quantile_disc(ts, 0.5) FROM '{src}'").fetchone()[0]
+    for name, cond in (("f0", f"ts <= TIMESTAMP '{mid}'"), ("f1", f"ts > TIMESTAMP '{mid}'")):
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{src}' WHERE {cond} ORDER BY ts, event_id) "
+            f"TO '{in_dir}/{name}.parquet' (FORMAT PARQUET)"
+        )
+    q = start_stateful_sessionize(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "session_start", "n_events", "total_value"
+    )
 
 
 @query("ann_cosine_topk", ann.COSINE_TOPK_SQL.format(k=5))

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "doc_languages",
     "table_cell_tagging",
     "quality_scores",
+    "repetition_stats",
+    "vocab_topk",
     "langid",
     "dedup_exact",
     "dedup_exact_clusters",

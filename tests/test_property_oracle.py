@@ -1,0 +1,86 @@
+"""Property-based dual-engine parity: hypothesis-generated documents
+(unicode, empty strings, repeated spaces, quotes, long runs) must flow
+through the Spark extraction and the DuckDB oracle SQL identically —
+the adversarial complement of the fixed-corpus gate.
+
+One Spark session (fixture) serves all examples; each example writes a
+tiny parquet and compares two queries end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.oracle_utils import compare_query
+
+# text: printable ASCII + some multi-byte unicode + spaces; includes
+# SQL-quote and regex metacharacters on purpose
+_text = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefgh ij klm'\"%_\\.()[]*+?|^$- ") + ["é", "ß", "中", "𝄞"]
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6), _text),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _write_sf_dir(rows) -> str:
+    tmp = tempfile.mkdtemp(prefix="prop_sf_")
+    ids, texts = zip(*rows)
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["xx"] * len(ids), pa.string()),
+            "source": pa.array(["prop"] * len(ids), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp, "documents.parquet"))
+    return tmp
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs)
+def test_extract_matches_oracle_on_random_docs(spark, rows):
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "extract_spans")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs)
+def test_parser_output_matches_oracle_on_random_docs(spark, rows):
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "parser_output")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs)
+def test_quality_matches_oracle_on_random_docs(spark, rows):
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "quality_scores")
