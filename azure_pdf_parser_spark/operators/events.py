@@ -91,6 +91,35 @@ def sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> Dat
     )
 
 
+def sessionize_native(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """The same gap sessions via Spark's NATIVE ``session_window``
+    (dynamic-gap tumbling merge) instead of the lag→cumsum plan —
+    per-session rollup in ONE aggregation, no window functions. The
+    output contract matches :func:`sessionize` minus the per-user
+    session index (session identity = its start time).
+
+    In streaming form the identical groupBy runs over ``readStream``
+    with a watermark; this batch query is the gate for it.
+    """
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_seconds} seconds").alias("sw")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 SESSIONIZE_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts, value,

@@ -231,13 +231,29 @@ def assemble(
     failures become status='failed' + the reference's error message
     (quarantine, not raise).
     """
-    tagged = tag_table_paragraphs(merged)
-    blocks = text_blocks_col(F.col("paragraphs"))
-
-    doc_text = F.array_join(
-        F.transform(blocks, lambda b: F.trim(b.text)), " "
+    # staged projections (same reasoning as extract_spans.extract): the
+    # blocks / doc-text / detected-language trees are materialized once
+    # each — embedding `detected` directly inside the per-block stamping
+    # lambda would re-evaluate the whole language scan per block, since
+    # expressions inside array lambdas run per element and never CSE.
+    tagged = (
+        tag_table_paragraphs(merged)
+        .withColumn("_blocks", text_blocks_col(F.col("paragraphs")))
+        .withColumn(
+            "_doc_text",
+            F.array_join(
+                F.transform(F.col("_blocks"), lambda b: F.trim(b.text)), " "
+            ),
+        )
+        .withColumn(
+            "_detected",
+            F.when(
+                F.size("_blocks") > 0, language_expr(F.col("_doc_text"))
+            ),
+        )
     )
-    detected = F.when(F.size(blocks) > 0, language_expr(doc_text))
+    blocks = F.col("_blocks")
+    detected = F.col("_detected")
 
     stamped = F.transform(
         blocks,

@@ -52,16 +52,27 @@ def size_bucket_col(spans) -> "F.Column":
 def with_skew_partitioning(
     documents: DataFrame, num_partitions: int | None = None
 ) -> DataFrame:
-    """Add (bucket, salt) and repartition so heavy docs spread evenly.
+    """Add (bucket, salt) lineage columns and hash-repartition on the
+    doc id so heavy docs spread evenly.
 
-    salt = positive xxhash of doc_id mod SALT_BUCKETS — deterministic,
-    uniform, and independent of input order.
+    The repartition key is the doc_id itself — for unique keys that IS
+    the finest possible salt: every row is its own shuffle key, so
+    monster docs scatter uniformly (balls-into-bins at doc granularity)
+    regardless of how many land in the same size bucket. An earlier
+    design repartitioned on (bucket, 16-way salt), which collapses each
+    bucket to ≤16 distinct keys: hash collisions then pile monsters
+    onto a few tasks and leave most of the cluster idle for the heavy
+    bucket (caught by test_skew_partitioning_spreads_monster_docs).
+
+    ``bucket`` (payload-byte size class) and ``salt`` (the doc's shuffle
+    cell, recorded mod SALT_BUCKETS) stay as columns for manifest
+    lineage and per-partition metrics.
     """
     df = documents.withColumn("bucket", size_bucket_col(F.col("spans"))).withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(SALT_BUCKETS)).cast("int")
     )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    return df.repartition(n, "bucket", "salt")
+    return df.repartition(n, "doc_id")
 
 
 def run_extract(

@@ -767,6 +767,31 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ops.sessionize(load_table(spark, sf_dir, "events"))
 
 
+_SESSIONIZE_CTES = events_ops.SESSIONIZE_SQL.rsplit(
+    "SELECT user_id, session_idx,", 1
+)[0]
+
+
+@query(
+    "events_session_window",
+    _SESSIONIZE_CTES
+    + """
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+""",
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (one aggregation, no window
+    functions) must produce the same sessions the lag→cumsum SQL plan
+    predicts. Boundary convention differs only at a gap of exactly
+    1800.000000s — measure-zero with µs timestamps."""
+    return events_ops.sessionize_native(load_table(spark, sf_dir, "events"))
+
+
 # the WITH-prefix of SESSIONIZE_SQL (everything before its final SELECT)
 # + the closed-prefix projection: all sessions minus each user's last
 _STATEFUL_SESSIONS_SQL = (

@@ -61,39 +61,96 @@ def _kind_expr(h: Column) -> Column:
     )
 
 
-def spans_col(doc_id: Column, text: Column) -> Column:
-    """array<struct<kind,text,media_ref,offset>> derived from a text column."""
+def chunk_texts_col(text: Column) -> Column:
+    """' '-joined 8-word chunks of the text — O(words): each slice copies
+    only its own 8-element window."""
     words = F.split(text, " ")
     n_chunks = F.ceil(F.size(words) / F.lit(float(WORDS_PER_SPAN))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * WORDS_PER_SPAN + 1, WORDS_PER_SPAN), " "
+        ),
+    )
+
+
+def chunks_with_offsets_col(chunks: Column) -> Column:
+    """array<struct<text, offset>>: each chunk paired with the char
+    offset of its first word — running sum of (len(chunk) + 1 separator)
+    via the aggregate accumulator, O(chunks²) int-struct copies. (Two
+    earlier formulations were pathological: re-joining the whole word
+    prefix per chunk is O(words²) STRING churn — ~60 GB of intermediate
+    strings on 240 KB docs — and staging the offsets as their own
+    single-use column gets re-inlined by CollapseProject into the
+    per-span lambda, going O(chunks³).)"""
+    elem = "struct<text:string,offset:int>"
+    return F.aggregate(
+        chunks,
+        F.struct(
+            F.array().cast(f"array<{elem}>").alias("arr"),
+            F.lit(0).cast("int").alias("acc"),
+        ),
+        lambda st, c: F.struct(
+            F.concat(
+                st.arr,
+                F.array(
+                    F.struct(c.alias("text"), st.acc.alias("offset"))
+                ),
+            ).alias("arr"),
+            (st.acc + F.length(c) + 1).cast("int").alias("acc"),
+        ),
+        lambda st: st.arr,
+    )
+
+
+def span_structs_col(doc_id: Column, chunks_off: Column) -> Column:
+    """Assemble span structs from the pre-staged (text, offset) array.
+    ``chunks_off`` must be a materialized column referenced ≥2 times
+    (element_at + the size bound below keep it so) — an expression
+    inlined here would re-evaluate per element."""
 
     def one_span(i: Column) -> Column:
-        start = i * WORDS_PER_SPAN
-        chunk_text = F.array_join(F.slice(words, start + 1, WORDS_PER_SPAN), " ")
-        offset = (
-            F.when(i == 0, F.lit(0))
-            .otherwise(F.length(F.array_join(F.slice(words, 1, start), " ")) + 1)
-            .cast("int")
-        )
         h = F.md5(F.concat(doc_id.cast("string"), F.lit(":"), i.cast("string")))
         kind = _kind_expr(h)
         is_media = kind == "figure"
+        chunk = F.element_at(chunks_off, i + 1)
         return F.struct(
             kind.alias("kind"),
             F.when(is_media, F.lit(None).cast("string"))
-            .otherwise(chunk_text)
+            .otherwise(chunk.text)
             .alias("text"),
             F.when(is_media, F.concat(F.lit("media://"), h)).alias("media_ref"),
-            offset.alias("offset"),
+            chunk.offset.alias("offset"),
         )
 
-    return F.transform(F.sequence(F.lit(0), n_chunks - 1), one_span)
+    return F.transform(F.sequence(F.lit(0), F.size(chunks_off) - 1), one_span)
+
+
+def spans_col(doc_id: Column, text: Column) -> Column:
+    """array<struct<kind,text,media_ref,offset>> derived from a text
+    column — single-expression form for contexts that cannot stage
+    columns; prefer :func:`derive_spans` (staged) on DataFrames."""
+    return span_structs_col(
+        doc_id, chunks_with_offsets_col(chunk_texts_col(text))
+    )
 
 
 def derive_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id string, spans array<SPAN>) in the input_hint shape."""
-    return df.select(
+    """(doc_id string, spans array<SPAN>) in the input_hint shape.
+
+    Staged projection: the (chunk text, offset) array is materialized
+    once, so the per-span assembly lambda does only attribute lookups
+    (element_at) — embedding the chunk tree in the lambda would rebuild
+    the whole array per span (O(n²))."""
+    staged = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        spans_col(F.col(id_col), F.col(text_col)).alias("spans"),
+        chunks_with_offsets_col(chunk_texts_col(F.col(text_col))).alias(
+            "_chunks"
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        span_structs_col(F.col("doc_id"), F.col("_chunks")).alias("spans"),
     )
 
 

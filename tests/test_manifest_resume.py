@@ -71,3 +71,36 @@ def test_skew_partitioning_spreads_buckets(spark):
     counts = [r["count"] for r in sizes]
     # deterministic salt must spread rows: no partition owns >40% of rows
     assert max(counts) / sum(counts) < 0.4
+
+
+def test_skew_partitioning_spreads_monster_docs(spark):
+    """Adversarial compute skew: 64 monster docs in a sea of tiny ones.
+    The salt must spread the monsters across partitions so no task owns
+    a pile of them — THE property AQE cannot provide (UDF/expression
+    cost is invisible to it), and the reason the pipeline repartitions
+    on (size_bucket, salt) explicitly."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.plans.extract import with_skew_partitioning
+    from azure_pdf_parser_spark.sources.spanize import derive_spans
+
+    # 32 KB monsters (vs ~1 KB corpus docs) keep the suite fast; the
+    # spreading property is size-independent (salt on doc_id)
+    rows = [(i, "monster " * 4_000) for i in range(64)] + [
+        (1000 + i, "tiny text") for i in range(1000)
+    ]
+    docs = derive_spans(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    parted = with_skew_partitioning(docs, num_partitions=16)
+    per_part = (
+        parted.withColumn("pid", F.spark_partition_id())
+        .withColumn("is_monster", (F.col("doc_id") < 64).cast("int"))
+        .groupBy("pid")
+        .agg(F.sum("is_monster").alias("monsters"))
+        .collect()
+    )
+    monsters = [r["monsters"] for r in per_part]
+    # 64 monsters over 16 partitions: perfect spread = 4/partition; the
+    # hash salt must keep the worst task below 3× perfect
+    assert max(monsters) <= 12, monsters

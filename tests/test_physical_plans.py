@@ -116,6 +116,28 @@ def test_resume_filter_is_anti_join_not_collect(spark, tmp_path):
     assert "LeftAnti" in plan, plan
 
 
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """The production sink story: parser_output written partitioned by
+    language must let a language-filtered read prune whole partitions at
+    planning time (PartitionFilters on the scan, not a post-filter) —
+    on Iceberg this is the same predicate → partition-spec pushdown."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.operators.extract_spans import extract
+    from azure_pdf_parser_spark.sources.spanize import derive_spans
+
+    out = str(tmp_path / "parser_output")
+    docs = derive_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    extract(docs).write.partitionBy("language").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("language") == "en")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(language" in plan, plan
+    # the language predicate must NOT appear as a row-level Filter node
+    assert "Filter" not in _nodes(plan), _nodes(plan)
+    assert back.count() > 0
+
+
 def test_simhash_is_single_shuffle_aggregation(spark):
     """The 128-bit simhash must stay one groupBy over (doc, token) —
     the bit explode formulation (3 shuffles, ~80M rows) regressed 10×."""
