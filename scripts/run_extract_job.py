@@ -40,11 +40,8 @@ def main() -> None:
     )
 
     from azure_pdf_parser_spark.plans.extract import run_extract
-    from azure_pdf_parser_spark.sources.spanize import derive_spans
 
     docs = spark.read.parquet(args.input)
-    if args.spanize:
-        docs = derive_spans(docs)
 
     run_id = run_extract(
         spark,
@@ -53,6 +50,7 @@ def main() -> None:
         manifest_path=args.manifest,
         run_id=args.run_id,
         num_partitions=args.partitions,
+        spanize=args.spanize,
     )
     print(f"run_id={run_id}")
     spark.stop()
