@@ -120,6 +120,71 @@ def sessionize_native(
     )
 
 
+def asof_last_purchase(events: DataFrame) -> DataFrame:
+    """As-of join INSIDE one stream: for every 'click' event, the most
+    recent 'purchase' by the same user at or before the click.
+
+    Spark has no ASOF JOIN operator; the classic distributed encoding is
+    union-then-window: tag both sides, sort per user by time, and carry
+    the last purchase forward with last_value(ignoreNulls) — ONE shuffle
+    on user_id, no range join, no per-row lookup. The DuckDB oracle uses
+    its native ASOF JOIN, so the gate proves the encoding against a real
+    as-of implementation.
+    """
+    from pyspark.sql.window import Window
+
+    tagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("p_value"),
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    # purchases sort before clicks at identical ts ("at or before"):
+    # order by (ts, is_click) — false < true
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_click").cast("int"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "is_click",
+        F.last("p_ts", ignorenulls=True).over(w).alias("asof_purchase_ts"),
+        F.last("p_value", ignorenulls=True).over(w).alias("asof_purchase_value"),
+    )
+    return carried.where("is_click").select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+        F.date_format("asof_purchase_ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        F.round("asof_purchase_value", 6).alias("purchase_value"),
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       c.event_id AS click_event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(p.value, 6) AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 SESSIONIZE_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts, value,

@@ -843,6 +843,130 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_asof_join", events_ops.ASOF_SQL)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): every click matched
+    to the user's most recent purchase at-or-before it — union+window
+    last_value(ignoreNulls) encoding, one shuffle on user_id; gated
+    against DuckDB's NATIVE ASOF JOIN."""
+    return events_ops.asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "corpus_stats_rollup",
+    """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+""",
+)
+def q_corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inventory with ROLLUP (source → source×lang → grand
+    total) — the multi-granularity partial-agg plan; NULL grouping
+    slots are labeled 'ALL' so both engines agree."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary over the star schema: ship-date filter
+    pushed to the scan, two-phase hash aggregation on a 4-group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l.l_orderkey AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderdate ASC, orderkey ASC
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: selective dim (filtered customer)
+    broadcast into orders, then the lineitem join — top-10 becomes a
+    TakeOrderedAndProject, never a full sort."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.l_orderkey == o.o_orderkey,
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return (
+        agg.select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
 @query("ann_cosine_topk", ann.COSINE_TOPK_SQL.format(k=5))
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "media_features",
     "events_windowed",
     "events_sessionize",
+    "events_session_window",
+    "events_asof_join",
+    "corpus_stats_rollup",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
 ]
 
 
