@@ -116,6 +116,29 @@ def test_resume_filter_is_anti_join_not_collect(spark, tmp_path):
     assert "LeftAnti" in plan, plan
 
 
+def test_tpch_q3_broadcasts_dims_and_takes_ordered(spark):
+    """Q3's filtered customer/orders dims must broadcast into the
+    lineitem probe (no shuffle of the fact side for the join), and the
+    top-10 must plan as TakeOrderedAndProject, never a global sort."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["tpch_q3_shipping_priority"](spark, SF_DIR))
+    nodes = _nodes(plan)
+    assert nodes.count("BroadcastHashJoin") == 2, nodes
+    assert "TakeOrderedAndProject" in nodes, nodes
+    assert "SortMergeJoin" not in nodes, nodes
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The as-of encoding must be ONE exchange (user_id) feeding both
+    window functions — a range/theta join here would be quadratic."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    nodes = _nodes(_plan(QUERIES["events_asof_join"](spark, SF_DIR)))
+    assert nodes.count("Exchange") == 1, nodes
+    assert "CartesianProduct" not in nodes and "BroadcastNestedLoopJoin" not in nodes
+
+
 def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     """The production sink story: parser_output written partitioned by
     language must let a language-filtered read prune whole partitions at
