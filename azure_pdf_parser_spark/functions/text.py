@@ -158,7 +158,8 @@ def repetition_stats(documents: "DataFrame") -> "DataFrame":  # noqa: F821
         )
     )
     per_gram = (
-        documents.select("doc_id", F.explode(bigrams).alias("bigram"))
+        documents.select("doc_id", F.explode_outer(bigrams).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
     )
@@ -206,7 +207,8 @@ def vocab_topk(documents: "DataFrame", k: int = 100) -> "DataFrame":  # noqa: F8
     from pyspark.sql.window import Window
 
     counts = (
-        documents.select(F.explode(F.split("text", " ")).alias("token"))
+        documents.select(F.explode_outer(F.split("text", " ")).alias("token"))
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )

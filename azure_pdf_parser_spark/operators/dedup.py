@@ -45,9 +45,11 @@ def shingles(documents: DataFrame) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i + 1, SHINGLE_WORDS), " "),
         )
     )
+    # outer + null-filter: a plain explode gets an inferred size()>0
+    # filter that re-evaluates the shingle-array build per row
     return documents.select(
-        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
-    )
+        "doc_id", F.explode_outer(F.array_distinct(shingle_arr)).alias("shingle")
+    ).where(F.col("shingle").isNotNull())
 
 
 SHINGLES_SQL_CTE = """
@@ -325,7 +327,9 @@ def simhash(documents: DataFrame) -> DataFrame:
     decode is instr() on the hex alphabet.
     """
     tokens = (
-        documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        documents.select(
+            "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+        ).where(F.col("token").isNotNull())
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
     )
@@ -573,9 +577,13 @@ def winnow_fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i + 1, SHINGLE_WORDS), " "),
         )
     )
-    hashed = documents.select(
-        "doc_id", F.posexplode(shingle_arr).alias("pos", "shingle")
-    ).select("doc_id", "pos", F.md5("shingle").alias("h"))
+    hashed = (
+        documents.select(
+            "doc_id", F.posexplode_outer(shingle_arr).alias("pos", "shingle")
+        )
+        .where(F.col("shingle").isNotNull())
+        .select("doc_id", "pos", F.md5("shingle").alias("h"))
+    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

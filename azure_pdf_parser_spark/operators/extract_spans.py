@@ -92,8 +92,15 @@ def extract_exploded(documents: DataFrame) -> DataFrame:
     The exploded form of :func:`extract`, used for oracle comparison and
     for downstream per-span analytics.
     """
+    # explode_outer + null-filter, NOT explode: InferFiltersFromGenerate
+    # would add size(kept)>0 below a plain explode, and predicate
+    # pushdown substitutes the whole kept-spans tree into that filter —
+    # the derivation then evaluates ~3× per row (measured 9× slowdown on
+    # the media path). Outer generates get no inferred filter.
     kept = kept_spans_col(F.col("spans"))
-    ex = documents.select("doc_id", F.explode(kept).alias("s"))
+    ex = documents.select("doc_id", F.explode_outer(kept).alias("s")).where(
+        F.col("s").isNotNull()
+    )
     return ex.select(
         "doc_id",
         F.col("s.offset").alias("ord"),
@@ -126,7 +133,9 @@ def doc_languages(documents: DataFrame, min_proportion: float = 0.4) -> DataFram
         lambda lang: F.size(F.filter(langs, lambda v: v == lang))
         > F.size(votes) * min_proportion,
     )
+    # outer + null-filter: see extract_exploded — a plain explode gets an
+    # inferred size()>0 filter that re-evaluates the whole votes tree
     out = documents.select(
-        "doc_id", F.explode(F.array_sort(winners)).alias("language")
-    )
+        "doc_id", F.explode_outer(F.array_sort(winners)).alias("language")
+    ).where(F.col("language").isNotNull())
     return out

@@ -126,8 +126,10 @@ def synth_media(spans_df: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spans = spans_df.select(F.explode("spans").alias("s")).where(
-        F.col("s.kind") == "figure"
+    # explode_outer: a plain explode gets an inferred size(spans)>0
+    # filter that re-evaluates the span-derivation tree (measured 9×)
+    spans = spans_df.select(F.explode_outer("spans").alias("s")).where(
+        F.col("s").isNotNull() & (F.col("s.kind") == "figure")
     )
     h = F.substring(F.col("s.media_ref"), 9, 32)
 

@@ -81,8 +81,8 @@ kept AS (
 def q_spanize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse-stage output contract: interleaved spans, exploded (O2 analog)."""
     ex = _spans(spark, sf_dir).select(
-        "doc_id", F.posexplode("spans").alias("ord", "s")
-    )
+        "doc_id", F.posexplode_outer("spans").alias("ord", "s")
+    ).where(F.col("s").isNotNull())
     return ex.select(
         "doc_id",
         F.col("ord").cast("int").alias("ord"),
@@ -349,8 +349,8 @@ def q_layout_text_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     IR) recover their type via the span semi-join; coords ×72, page −1;
     every block stamped with the doc language."""
     blocks = _assembled(spark, sf_dir).select(
-        "doc_id", F.explode("text_blocks").alias("b")
-    )
+        "doc_id", F.explode_outer("text_blocks").alias("b")
+    ).where(F.col("b").isNotNull())
     return blocks.select(
         "doc_id",
         F.col("b.text_block_id").alias("text_block_id"),
@@ -374,8 +374,8 @@ FROM doc_pages
 def q_layout_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10: per-page metadata — 0-based pages, inch → 72-ppi px."""
     pages = _assembled(spark, sf_dir).select(
-        "doc_id", F.explode("page_metadata").alias("m")
-    )
+        "doc_id", F.explode_outer("page_metadata").alias("m")
+    ).where(F.col("m").isNotNull())
     return pages.select(
         "doc_id",
         F.col("m.page_number").alias("page_number"),
@@ -413,8 +413,8 @@ def q_layout_table_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 (experimental table path): flattened table-block cells with
     ×72 regions and 0-based pages (reference convert.py:100-156)."""
     tb = _assembled(spark, sf_dir, tables=True).select(
-        "doc_id", F.explode("table_blocks").alias("t")
-    )
+        "doc_id", F.explode_outer("table_blocks").alias("t")
+    ).where(F.col("t").isNotNull())
     cells = tb.select(
         "doc_id",
         F.col("t.table_id").alias("table_id"),
@@ -464,8 +464,8 @@ def q_layout_coord_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_pdf_parser_spark.operators.layout import flip_text_block_coords
 
     flipped = flip_text_block_coords(_assembled(spark, sf_dir)).select(
-        "doc_id", F.explode("text_blocks").alias("b")
-    )
+        "doc_id", F.explode_outer("text_blocks").alias("b")
+    ).where(F.col("b").isNotNull())
     return flipped.select(
         "doc_id",
         F.col("b.text_block_id").alias("text_block_id"),
@@ -493,8 +493,8 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     blocks = _assembled(spark, sf_dir).select(
-        "doc_id", F.explode("text_blocks").alias("b")
-    )
+        "doc_id", F.explode_outer("text_blocks").alias("b")
+    ).where(F.col("b").isNotNull())
     tl = F.element_at(F.col("b.coords"), 1)
     w = Window.partitionBy("doc_id", F.col("b.page_number")).orderBy(
         tl.y.asc(), tl.x.asc(), F.col("b.text_block_id").cast("int").asc()

@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from azure_pdf_parser_spark.sources.spanize import spans_col
+# spanize staging helpers imported inside derive_layout_batches
 
 PARAS_PER_PAGE = 5
 PAGES_PER_BATCH = 3
@@ -123,9 +123,21 @@ def derive_layout_batches(docs: DataFrame) -> DataFrame:
     batch), page numbers local to the batch. Narrow: no shuffle."""
     doc_id = F.col("doc_id")
 
+    # staged exactly like spanize.derive_spans: the (chunk, offset)
+    # array materializes once; the single-expression spans_col form
+    # would re-evaluate the chunk aggregate per span element (O(m³))
+    from azure_pdf_parser_spark.sources.spanize import (
+        chunk_texts_col,
+        chunks_with_offsets_col,
+        span_structs_col,
+    )
+
     base = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        spans_col(F.col("doc_id"), F.col("text")).alias("spans"),
+        chunks_with_offsets_col(chunk_texts_col(F.col("text"))).alias("_chunks"),
+    ).select(
+        "doc_id",
+        span_structs_col(F.col("doc_id"), F.col("_chunks")).alias("spans"),
     )
 
     # (ord, kind, text, offset) for non-figure spans, with para_seq rank
@@ -234,7 +246,11 @@ def derive_layout_batches(docs: DataFrame) -> DataFrame:
 
     batches = F.transform(F.sequence(F.lit(0), n_batches - 1), batch_struct)
 
-    exploded = staged.select("doc_id", F.explode(batches).alias("b"))
+    # explode_outer: a plain explode gets an inferred size()>0 filter
+    # that re-evaluates the whole batches tree (see spanize/extract)
+    exploded = staged.select(
+        "doc_id", F.explode_outer(batches).alias("b")
+    ).where(F.col("b").isNotNull())
     return exploded.select(
         "doc_id",
         F.col("b.batch_number").alias("batch_number"),
