@@ -702,7 +702,7 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST({text_fns.TOKEN_COUNT_SQL.format(t='text')} AS BIGINT) AS ws_tokens,
        CAST({text_fns.BPE_TOKEN_COUNT_SQL.format(t='text')} AS BIGINT) AS bpe_tokens,
-       round(length(text) / CAST({text_fns.BPE_TOKEN_COUNT_SQL.format(t='text')} AS DOUBLE), 6) AS chars_per_bpe_token
+       round(length(text) / nullif(CAST({text_fns.BPE_TOKEN_COUNT_SQL.format(t='text')} AS DOUBLE), 0), 6) AS chars_per_bpe_token
 FROM documents
 """,
 )
@@ -720,7 +720,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count_expr("text").cast("bigint").alias("ws_tokens"),
         bpe.cast("bigint").alias("bpe_tokens"),
-        F.round(F.length("text") / bpe, 6).alias("chars_per_bpe_token"),
+        F.round(F.length("text") / F.nullif(bpe.cast("double"), F.lit(0.0)), 6).alias("chars_per_bpe_token"),
     )
 
 

@@ -84,3 +84,38 @@ def test_parser_output_matches_oracle_on_random_docs(spark, rows):
 def test_quality_matches_oracle_on_random_docs(spark, rows):
     sf_dir = _write_sf_dir(rows)
     compare_query(spark, sf_dir, "quality_scores")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs)
+def test_token_stats_matches_oracle_on_random_docs(spark, rows):
+    """BPE-ish regex token counting: Java regex (UTF-16) vs RE2
+    (codepoints) must agree on astral chars, metachars, empties."""
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "token_stats")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs)
+def test_repetition_stats_matches_oracle_on_random_docs(spark, rows):
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "repetition_stats")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs)
+def test_langid_matches_oracle_on_random_docs(spark, rows):
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "langid")
