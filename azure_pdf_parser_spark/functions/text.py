@@ -68,12 +68,15 @@ def language_expr(text: Column | str) -> Column:
         )
     )
     langs = F.array(*[F.lit(lang) for lang in LANG_STOPWORDS])
+    # Null-safe winner branch: NULL text gives NULL scores, which tie on
+    # the index field inside array_max (struct comparison) and would
+    # otherwise crown the first language. `w.s > 0` is false for both
+    # NULL and 0 scores, so each yields NULL — matching the SQL form's
+    # `CASE WHEN best = 0 THEN NULL` + SQL NULL propagation.
     return F.element_at(
         F.transform(
             F.array(ranked),
-            lambda w: F.when(w.s == 0, F.lit(None).cast("string")).otherwise(
-                F.element_at(langs, -w.r + 1)
-            ),
+            lambda w: F.when(w.s > 0, F.element_at(langs, -w.r + 1)),
         ),
         1,
     )
@@ -179,10 +182,14 @@ WITH grams AS (
                     ELSE w.words[t.i + 1] || ' ' || w.words[t.i + 2]
                END AS bigram
         FROM documents d
+        -- symmetric with the Spark side's NULL-bigram filter: a NULL
+        -- text must drop the doc in BOTH engines (advisor-verified
+        -- divergence: DuckDB's CASE otherwise emits one NULL bigram row)
         CROSS JOIN LATERAL (SELECT string_split(d.text, ' ') AS words) w
         CROSS JOIN LATERAL (
             SELECT UNNEST(range(CAST(greatest(len(w.words) - 1, 1) AS BIGINT))) AS i
         ) t
+        WHERE d.text IS NOT NULL
     ) GROUP BY doc_id, bigram
 )
 SELECT doc_id,

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from azure_pdf_parser_spark.caching import tracked_persist
+
 LSH_BITS = 8
 
 
@@ -174,7 +176,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
     # persisted: the assignment (broadcast score + argmin window) feeds
     # both sides of the within-list self-join — at production scale the
     # assigned table is the persisted IVF index itself
-    assigned = ivf_assign(embeddings).persist()
+    assigned = tracked_persist(ivf_assign(embeddings))
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,

@@ -24,17 +24,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from azure_pdf_parser_spark.caching import tracked_persist
+
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 SHINGLE_WORDS = 3
+# Document-frequency cap: a shingle appearing in more than MAX_SHINGLE_DF
+# documents is boilerplate and carries no near-dup signal — and it is a
+# skew bomb in any shared-shingle equi-join (d docs sharing a shingle
+# yield d(d-1)/2 candidate rows on ONE join key: a phrase in 10^6 docs
+# ≈ 5·10^11 pairs). md5-uniformity of the key space bounds *placement*
+# skew, not *frequency* skew, so the cap is load-bearing at crawl scale.
+MAX_SHINGLE_DF = 1000
 
 
 # --- shingles ----------------------------------------------------------------
 
 
-def shingles(documents: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-word shingles; docs shorter than 3
-    words contribute their whole text as the single shingle."""
+def shingles(
+    documents: DataFrame, max_df: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
+    """(doc_id, shingle) — distinct 3-word shingles per doc; docs shorter
+    than 3 words contribute their whole text as the single shingle.
+    Shingles with document frequency > ``max_df`` are dropped (see
+    MAX_SHINGLE_DF; pass None to disable).
+
+    Scale shape of the cap: the df count is a groupBy with map-side
+    partials (hot keys collapse before the shuffle), and the hot set is
+    tiny under any Zipfian corpus, so AQE turns the anti-join into a
+    broadcast; no forced-broadcast hint — the hot set is corpus-derived
+    and its absolute size must stay AQE's decision.
+    """
     words = F.split("text", " ")
     n = F.size(words)
     shingle_arr = F.when(
@@ -47,13 +67,22 @@ def shingles(documents: DataFrame) -> DataFrame:
     )
     # outer + null-filter: a plain explode gets an inferred size()>0
     # filter that re-evaluates the shingle-array build per row
-    return documents.select(
+    sh = documents.select(
         "doc_id", F.explode_outer(F.array_distinct(shingle_arr)).alias("shingle")
     ).where(F.col("shingle").isNotNull())
+    if max_df is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
 
 
-SHINGLES_SQL_CTE = """
-shingles AS (
+SHINGLES_SQL_CTE = f"""
+shingles_all AS (
     SELECT DISTINCT doc_id, shingle FROM (
         SELECT d.doc_id,
                CASE WHEN len(w.words) < 3 THEN d.text
@@ -65,6 +94,10 @@ shingles AS (
             SELECT UNNEST(range(CAST(greatest(len(w.words) - 2, 1) AS BIGINT))) AS i
         ) t
     )
+),
+shingles AS (
+    SELECT doc_id, shingle FROM shingles_all
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
 )
 """
 
@@ -75,7 +108,13 @@ shingles AS (
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.3) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle with exact
     Jaccard ≥ threshold. The shared-shingle equi-join IS the candidate
-    generation — no O(n²) cross join ever materializes.
+    generation — no O(n²) cross join ever materializes, and the
+    MAX_SHINGLE_DF document-frequency cap inherited from
+    :func:`shingles` bounds the per-key fan-out of the self-join to
+    df(df-1)/2 ≤ ~5·10^5 rows, killing the hot-boilerplate skew bomb.
+    Jaccard is computed over the capped shingle universe on BOTH the
+    engine and oracle sides (dropped shingles count in neither the
+    numerator nor the denominator).
 
     The join key is ``xxhash64(shingle)`` (8 bytes) rather than the
     shingle string (~25–40 bytes): the self-join shuffles both sides on
@@ -459,15 +498,14 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = MAX_HAMMING) -> DataF
     sides of the expansion (at production scale it would be a
     checkpointed Iceberg table).
     """
-    sims = simhash(documents).persist()
+    sims = tracked_persist(simhash(documents))
     # the distinct-fingerprint table is persisted too: it feeds both
     # sides of the band self-join (at production scale both sims and fps
     # would be checkpointed Iceberg tables between stages)
-    fps = (
+    fps = tracked_persist(
         sims.select("simhash")
         .distinct()
         .select("simhash", F.array(*_words_expr(F.col("simhash"))).alias("w"))
-        .persist()
     )
     bands = fps.select(
         "simhash", "w", F.posexplode("w").alias("band_idx", "band_val")

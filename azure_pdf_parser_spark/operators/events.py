@@ -130,6 +130,11 @@ def asof_last_purchase(events: DataFrame) -> DataFrame:
     on user_id, no range join, no per-row lookup. The DuckDB oracle uses
     its native ASOF JOIN, so the gate proves the encoding against a real
     as-of implementation.
+
+    Tie rule: among several purchases by one user at the same ts, the
+    max-event_id row wins (the window orders by event_id and carries the
+    last) — the oracle dedups purchases to the same winner, since a
+    native ASOF JOIN is free to pick any row among equal p.ts.
     """
     from pyspark.sql.window import Window
 
@@ -172,7 +177,16 @@ WITH clicks AS (
     SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
 ),
 purchases AS (
-    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    -- dedup per (user_id, ts) keeping the max event_id: the Spark
+    -- union+window encoding orders same-ts purchases by event_id and
+    -- carries the last one, while a native ASOF JOIN would pick an
+    -- arbitrary row among equal p.ts — deduping here pins both engines
+    -- to the same deterministic winner.
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
 )
 SELECT c.user_id,
        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,

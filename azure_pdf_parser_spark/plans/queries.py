@@ -57,6 +57,15 @@ def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_spans(_docs(spark, sf_dir))
 
 
+def _detach(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize a gate result into an in-memory DataFrame so the
+    temp files it was read from can be deleted before returning (the
+    streaming gates otherwise leak a copy of their input parquet per
+    run). Gate outputs are small by construction — this is NOT used on
+    any bench/scale path."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 _KEPT_SQL = f"""
 WITH {SPANIZE_SQL_CTE},
 kept AS (
@@ -232,36 +241,60 @@ WHERE k.text IS NOT NULL
 """,
 )
 def q_table_cell_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O5+O6 as a relational semi-join: harvest TableCell span keys and tag
-    matching paragraphs — the distributed form of reference
-    convert.py:203-236 (harvest at :203-217, tag at :220-236; the reference
-    key is the paragraph's span identity — here the deterministic analog is
-    (doc_id, span text length)). The dim side is broadcast: the harvested
-    cell-key set is tiny relative to the fact side at any scale.
+    """O5+O6 array-local: harvest TableCell span keys and tag matching
+    paragraphs — reference convert.py:203-236 (harvest at :203-217, tag
+    at :220-236; the reference key is the paragraph's span identity —
+    here the deterministic analog is (doc_id, span text length)).
+
+    Scale design: span keys NEVER cross documents, so the semi-join
+    degenerates to per-row array work — harvest the per-doc key set
+    inside the spans array and tag via array_contains. Zero shuffle,
+    zero broadcast. (Round 1 broadcast a DISTINCT(doc_id, length) dim
+    harvested from the fact side — its cardinality grows linearly with
+    the corpus, so at 100× scale the broadcast itself OOMs the driver;
+    *relative* size doesn't bound *absolute* broadcast bytes.)
+
+    Spark 4.1 staging: `spans` and the harvested `cell_lengths` are
+    fused into one struct column referenced twice downstream, so
+    CollapseProject cannot re-inline the array_distinct tree into the
+    tagging lambda (where it would re-evaluate per element).
     """
-    p = (
-        extract_spans.extract_exploded(_spans(spark, sf_dir))
-        .filter(F.col("text").isNotNull())
-        .alias("p")
+    kept = extract_spans.kept_spans_col(F.col("spans"))
+    staged = _spans(spark, sf_dir).select("doc_id", kept.alias("spans"))
+    cell_lengths = F.array_distinct(
+        F.transform(
+            F.filter(
+                F.col("spans"),
+                lambda s: (s.kind == "TableCell") & s.text.isNotNull(),
+            ),
+            lambda s: F.length(s.text),
+        )
     )
-    cell_keys = (
-        p.filter(F.col("kind") == "TableCell")
-        .select("doc_id", F.length("text").alias("length"))
-        .distinct()
-        .alias("c")
+    payload = staged.select(
+        "doc_id",
+        F.struct(
+            F.col("spans").alias("spans"), cell_lengths.alias("cell_lengths")
+        ).alias("d"),
     )
-    joined = p.join(
-        F.broadcast(cell_keys),
-        on=(F.col("p.doc_id") == F.col("c.doc_id"))
-        & (F.length(F.col("p.text")) == F.col("c.length")),
-        how="left",
+    tagged = F.transform(
+        F.filter(F.col("d.spans"), lambda s: s.text.isNotNull()),
+        lambda s: F.struct(
+            s.offset.alias("ord"),
+            F.when(
+                F.array_contains(F.col("d.cell_lengths"), F.length(s.text)),
+                F.lit("TableCell"),
+            )
+            .otherwise(s.kind)
+            .alias("kind"),
+        ),
     )
-    return joined.select(
-        F.col("p.doc_id").alias("doc_id"),
-        F.col("p.ord").alias("ord"),
-        F.when(F.col("c.doc_id").isNotNull(), F.lit("TableCell"))
-        .otherwise(F.col("p.kind"))
-        .alias("kind"),
+    # explode_outer + null-filter: a plain explode gets an inferred
+    # size()>0 filter that re-evaluates the derived-array tree
+    out = payload.select("doc_id", F.explode_outer(tagged).alias("t")).where(
+        F.col("t").isNotNull()
+    )
+    return out.select(
+        "doc_id", F.col("t.ord").alias("ord"), F.col("t.kind").alias("kind")
     )
 
 
@@ -673,22 +706,32 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_pdf_parser_spark.streaming.stream_extract import start_stream
 
     tmp = tempfile.mkdtemp(prefix="stream_gate_")
-    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
-    os.makedirs(in_dir)
-    shutil.copy(
-        os.path.join(sf_dir, "documents.parquet"), f"{in_dir}/part-000.parquet"
-    )
-    q = start_stream(spark, in_dir, out_dir, ckpt, available_now=True)
-    q.awaitTermination(300)
-    out = spark.read.parquet(out_dir)
-    ex = out.select("doc_id", F.explode("spans").alias("s"))
-    return ex.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("s.offset").alias("ord"),
-        "s.kind",
-        "s.text",
-        "s.media_ref",
-    )
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"), f"{in_dir}/part-000.parquet"
+        )
+        q = start_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_extract gate: availableNow stream did not drain in 300s"
+            )
+        out = spark.read.parquet(out_dir)
+        ex = out.select("doc_id", F.explode("spans").alias("s"))
+        return _detach(
+            spark,
+            ex.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.col("s.offset").alias("ord"),
+                "s.kind",
+                "s.text",
+                "s.media_ref",
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -826,21 +869,33 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_stateful_sessionize,
     )
 
+    import shutil
+
     src = os.path.join(sf_dir, "events.parquet")
     tmp = tempfile.mkdtemp(prefix="stateful_gate_")
-    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
-    os.makedirs(in_dir)
-    mid = duckdb.sql(f"SELECT quantile_disc(ts, 0.5) FROM '{src}'").fetchone()[0]
-    for name, cond in (("f0", f"ts <= TIMESTAMP '{mid}'"), ("f1", f"ts > TIMESTAMP '{mid}'")):
-        duckdb.sql(
-            f"COPY (SELECT * FROM '{src}' WHERE {cond} ORDER BY ts, event_id) "
-            f"TO '{in_dir}/{name}.parquet' (FORMAT PARQUET)"
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        mid = duckdb.sql(f"SELECT quantile_disc(ts, 0.5) FROM '{src}'").fetchone()[0]
+        for name, cond in (("f0", f"ts <= TIMESTAMP '{mid}'"), ("f1", f"ts > TIMESTAMP '{mid}'")):
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{src}' WHERE {cond} ORDER BY ts, event_id) "
+                f"TO '{in_dir}/{name}.parquet' (FORMAT PARQUET)"
+            )
+        q = start_stateful_sessionize(spark, in_dir, out_dir, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_stateful_sessions gate: stream did not drain in 300s"
+            )
+        return _detach(
+            spark,
+            spark.read.parquet(out_dir).select(
+                "user_id", "session_start", "n_events", "total_value"
+            ),
         )
-    q = start_stateful_sessionize(spark, in_dir, out_dir, ckpt)
-    q.awaitTermination(300)
-    return spark.read.parquet(out_dir).select(
-        "user_id", "session_start", "n_events", "total_value"
-    )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query("events_asof_join", events_ops.ASOF_SQL)

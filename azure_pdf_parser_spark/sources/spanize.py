@@ -140,8 +140,17 @@ def spans_col(doc_id: Column, text: Column) -> Column:
     )
 
 
+SPAN_ARRAY_TYPE = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
 def derive_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id string, spans array<SPAN>) in the input_hint shape.
+
+    NULL text (a failed upstream parse) derives an EMPTY span array —
+    the doc flows through as an empty document (0 spans, md5(''),
+    language NULL), matching the oracle SQL where a NULL text produces
+    zero spanize rows. Without the guard the spans column is NULL and
+    every downstream aggregate silently nulls out.
 
     Staged projection: the (chunk text, offset) array is materialized
     once, so the per-span assembly lambda does only attribute lookups
@@ -149,13 +158,16 @@ def derive_spans(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     the whole array per span (O(n²))."""
     staged = df.select(
         F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).isNull().alias("_null_text"),
         chunks_with_offsets_col(chunk_texts_col(F.col(text_col))).alias(
             "_chunks"
         ),
     )
     return staged.select(
         "doc_id",
-        span_structs_col(F.col("doc_id"), F.col("_chunks")).alias("spans"),
+        F.when(F.col("_null_text"), F.array().cast(SPAN_ARRAY_TYPE))
+        .otherwise(span_structs_col(F.col("doc_id"), F.col("_chunks")))
+        .alias("spans"),
     )
 
 

@@ -128,17 +128,24 @@ def flagship(spark, sf_dir: str, factor: int):
 
 
 def bench_queries(spark) -> dict[str, float]:
+    from azure_pdf_parser_spark.caching import release_all
     from azure_pdf_parser_spark.plans.queries import QUERIES
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
-        df = QUERIES[name](spark, SF_DIR)
-        run_noop(df)  # warm: codegen + scan cache; measure the steady state
-        t0 = time.perf_counter()
-        run_noop(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+            run_noop(df)  # warm: codegen + scan cache; measure the steady state
+            t0 = time.perf_counter()
+            run_noop(df)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        finally:
+            # operators persist internal intermediates (simhash fps, IVF
+            # index); release them so a 30-query sweep doesn't accumulate
+            # cached blocks in storage memory
+            release_all()
         log(f"  {name}: {timings[name]:.2f}s")
     return timings
 

@@ -54,11 +54,15 @@ def normalize_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare_query(spark, sf_dir: str, name: str) -> None:
+    from azure_pdf_parser_spark.caching import release_all
     from azure_pdf_parser_spark.plans.queries import ORACLE_SQL, QUERIES
 
-    sdf = QUERIES[name](spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    try:
+        sdf = QUERIES[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    finally:
+        release_all()
 
     con = duckdb_connection(sf_dir)
     res = con.execute(ORACLE_SQL[name])

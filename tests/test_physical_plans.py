@@ -6,7 +6,7 @@ broadcast, or widens a scan fails CI — the properties that decide
 whether the job survives a 1000-executor run:
 
 * flagship extraction is shuffle-free (pure scan → project),
-* the table-cell semi-join broadcasts its dim side,
+* the table-cell tag is array-local (no join, no corpus-sized broadcast),
 * parquet scans prune to the referenced columns,
 * groupBy aggregations do map-side partial aggregation,
 * the resume anti-join stays a join (no collect-to-driver).
@@ -62,13 +62,19 @@ def test_exploded_extract_has_no_exchange(spark):
     assert "Exchange" not in _plan(df)
 
 
-def test_table_cell_tagging_broadcasts_dim_side(spark):
-    """The harvested cell-key set is tiny; it must broadcast — a
-    sort-merge join here would shuffle the full fact side."""
+def test_table_cell_tagging_is_array_local_no_join(spark):
+    """Span keys never cross documents, so the tag must be per-row array
+    work: no join of any kind, no Exchange, and — critically — no
+    broadcast of a corpus-derived aggregate (round 1 broadcast a
+    DISTINCT(doc_id, length) dim whose cardinality grows linearly with
+    the corpus; at 100× scale that broadcast OOMs the driver)."""
     from azure_pdf_parser_spark.plans.queries import QUERIES
 
     plan = _plan(QUERIES["table_cell_tagging"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan, plan
+    nodes = _nodes(plan)
+    assert "Exchange" not in nodes, nodes
+    assert not any("Join" in n for n in nodes), nodes
+    assert "BroadcastExchange" not in plan, plan
 
 
 def test_scan_prunes_columns(spark):
