@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Ordered dict: tie-break is lexicographically smallest language code.
+# Legacy 4-language stopword lists — retained ONLY for the
+# quality_exprs stopword_ratio signal (a Gopher-style "western stopword
+# density" feature whose oracle SQL mirrors these exact lists).
+# Language DETECTION uses LANG_PROFILES below.
 LANG_STOPWORDS = {
     "de": ("der", "die", "das", "und", "ist", "nicht"),
     "en": ("the", "a", "of", "and", "to", "is"),
@@ -43,57 +46,228 @@ def _score(text: Column | str, lang: str) -> Column:
     return F.size(F.regexp_extract_all(_ascii(c), F.lit(pat), 1))
 
 
+# ---------------------------------------------------------------------------
+# Wide language identification: 29 languages, three bit-identical mirrors
+# (Spark Column / DuckDB SQL / pure Python in model.detect_language).
+#
+# The reference delegates to langdetect (~55 languages, pinned seed —
+# experimental_base.py:135-160). The engine replaces it with a
+# deterministic two-signal heuristic over the first LANGID_SAMPLE_CHARS
+# characters (cld2-style sampling — detection cost must be O(1) per
+# doc, not O(doc), at 100 TB):
+#   * "words"  — count of DISTINCT language-specific function words
+#     present (matched as whole space-delimited tokens, lowercase only),
+#   * "script" — count of characters in a script-unique Unicode block
+#     (CJK han, kana, hangul, Arabic, Hebrew, Greek, Thai, Devanagari).
+# argmax over all scores; ties go to the lexicographically smallest
+# code (the analog of the reference's seed pinning). No hits → NULL.
+#
+# Cross-engine word boundaries: RE2's \b is ASCII-only, so non-Latin
+# stopwords can't use \b. Instead the text is prepared as
+#   ' ' || double_spaces(strip_non_letters(sample)) || ' '
+# and ONE combined regex over all 24 profiles' words extracts the
+# space-surrounded stopword tokens — doubling the spaces makes adjacent
+# tokens non-overlapping for the regex scanner. Per-language scores are
+# then array_intersect against each profile (distinct semantics in
+# Spark/DuckDB/Python alike). \p{L} means the same Unicode letter
+# category in Java regex, RE2, and Python's str.isalpha(), which keeps
+# all three mirrors identical (hypothesis-checked, astral included).
+#
+# Why intersect, not per-word counts: the scores sit in ONE projection
+# 24×. array_intersect is lambda-free, so whole-stage codegen CSE
+# collapses the 24 identical hits/prepared subtrees to one evaluation —
+# measured 1.1 s for 200k docs. A filter(hits, λ)-count formulation
+# re-evaluates the combined scan per language (fresh lambda-variable
+# ids defeat CSE): measured 10.4 s. Per-language full-text regexes:
+# 2.0 s. (Spark 4.1, local[32], sf0.1 ×40.)
+# ---------------------------------------------------------------------------
+
+LANGID_SAMPLE_CHARS = 256
+
+# MUST stay sorted by language code: the Spark argmax tie-break is
+# smallest dict index, the SQL tie-break is ORDER BY code ASC — they
+# agree only while insertion order == lexicographic order.
+LANG_PROFILES: dict[str, tuple[str, tuple]] = {
+    "ar": ("script", ("؀", "ۿ")),
+    "bg": ("words", ("да", "се", "са", "това", "към", "е")),
+    "cs": ("words", ("je", "nejsou", "ale", "že", "jsou", "není")),
+    "da": ("words", ("og", "er", "ikke", "det", "af")),
+    "de": ("words", ("der", "die", "das", "und", "nicht", "ist", "im")),
+    "el": ("script", ("Ͱ", "Ͽ")),
+    "en": ("words", ("the", "and", "of", "to", "is", "it", "that")),
+    "es": ("words", ("el", "los", "las", "una", "es", "y", "está")),
+    "fi": ("words", ("ja", "ei", "eivät", "ole", "mutta", "se")),
+    "fr": ("words", ("le", "les", "est", "dans", "une", "et", "que")),
+    "he": ("script", ("֐", "׿")),
+    "hi": ("script", ("ऀ", "ॿ")),
+    "hu": ("words", ("és", "nincs", "de", "az", "ez", "egy")),
+    "id": ("words", ("dan", "tidak", "ada", "di", "yang", "ini")),
+    "it": ("words", ("il", "nella", "non", "sono", "che", "è")),
+    "ja": ("script", ("぀", "ヿ")),
+    "ko": ("script", ("가", "힯")),
+    "nl": ("words", ("het", "zijn", "niet", "een", "ook", "voor")),
+    "no": ("words", ("og", "er", "ikke", "det", "av")),
+    "pl": ("words", ("nie", "są", "ale", "jest", "w", "z")),
+    "pt": ("words", ("não", "uma", "os", "em", "com", "para")),
+    "ro": ("words", ("și", "nu", "în", "este", "dar", "sunt")),
+    "ru": ("words", ("и", "не", "в", "но", "это", "как")),
+    "sv": ("words", ("och", "är", "inte", "som", "ett", "på")),
+    "th": ("script", ("฀", "๿")),
+    "tr": ("words", ("ve", "değil", "ama", "bir", "bu", "şey")),
+    "uk": ("words", ("і", "не", "в", "але", "це", "як")),
+    "vi": ("words", ("và", "không", "ở", "trong", "của", "tôi")),
+    "zh": ("script", ("一", "鿿")),
+}
+assert list(LANG_PROFILES) == sorted(LANG_PROFILES)
+
+
+# One short sample sentence per language (used by the langid_wide gate
+# and the three-mirror accuracy test). No apostrophes — each string is
+# inlined into SQL literals.
+LANGID_WIDE_SENTENCES: dict[str, str] = {
+    "ar": "الكلب والقط ليسا في المنزل هذا اختبار",
+    "bg": "кучето и котката не са в къщата да се това е",
+    "cs": "pes a kočka nejsou v domě ale je to že není",
+    "da": "hunden og katten er ikke i huset af det",
+    "de": "der hund und die katze sind nicht im haus",
+    "el": "ο σκύλος και η γάτα δεν είναι στο σπίτι",
+    "en": "the cat is on the mat and it is that warm",
+    "es": "el perro y los gatos están en una casa es",
+    "fi": "koira ja kissa eivät ole talossa mutta se on",
+    "fr": "le chien est dans une maison et les chats que",
+    "he": "הכלב והחתול לא בבית זה מבחן",
+    "hi": "कुत्ता और बिल्ली घर में नहीं हैं यह एक परीक्षण है",
+    "hu": "a kutya és a macska nincs a házban de az egy",
+    "id": "anjing dan kucing tidak ada di rumah yang ini",
+    "it": "il cane è nella casa e non sono che qui",
+    "ja": "犬と猫は家にいませんこれはテストです",
+    "ko": "개와 고양이는 집에 없습니다 이것은 테스트입니다",
+    "nl": "de hond en de kat zijn niet in het huis ook",
+    "no": "hunden og katten er ikke i huset av det",
+    "pl": "pies i kot nie są w domu ale to jest z",
+    "pt": "o cão não está em uma casa com os para gatos",
+    "ro": "câinele și pisica nu sunt în casă dar este",
+    "ru": "собака и кошка не в доме но это как",
+    "sv": "hunden och katten är inte i huset som ett på",
+    "th": "สุนัขและแมวไม่อยู่ในบ้านนี่คือการทดสอบ",
+    "tr": "köpek ve kedi evde değil ama bu bir şey",
+    "uk": "собака і кішка не в домі але це як",
+    "vi": "con chó và con mèo không ở trong nhà của tôi",
+    "zh": "狗和猫不在房子里这是一个测试",
+}
+assert list(LANGID_WIDE_SENTENCES) == list(LANG_PROFILES)
+
+
+def _script_pattern(lang: str) -> str:
+    lo, hi = LANG_PROFILES[lang][1]
+    return f"[{lo}-{hi}]"
+
+
+def _combined_word_pattern() -> str:
+    """ONE regex matching any profile's stopword as a space-surrounded
+    token of the prepared text. At a given start position only the
+    alternative equal to the actual token can complete (the trailing
+    '[ ]' rejects prefixes), so the match set is identical under Java's
+    leftmost-first and RE2's alternation semantics."""
+    all_words = sorted(
+        {w for kind, payload in LANG_PROFILES.values() if kind == "words" for w in payload}
+    )
+    return "[ ](?:" + "|".join(all_words) + ")[ ]"
+
+
+def _prepared_expr(text: Column) -> Column:
+    sample = F.substring(text, 1, LANGID_SAMPLE_CHARS)
+    cleaned = F.regexp_replace(sample, r"[^\p{L} ]", " ")
+    doubled = F.regexp_replace(cleaned, " ", "  ")
+    return F.concat(F.lit(" "), doubled, F.lit(" "))
+
+
+def _prepared_sql(text_sql: str) -> str:
+    sample = f"substr({text_sql}, 1, {LANGID_SAMPLE_CHARS})"
+    return (
+        f"(' ' || replace(regexp_replace({sample}, '[^\\pL ]', ' ', 'g'),"
+        f" ' ', '  ') || ' ')"
+    )
+
+
 def language_expr(text: Column | str) -> Column:
-    """Detected language code, or NULL when no stopword hits.
+    """Detected language code (29 languages), or NULL on no signal.
 
-    argmax over per-language stopword-hit counts; ties go to the
-    lexicographically smallest code (deterministic — the analog of the
-    reference's seed pinning).
+    argmax over per-language scores; ties go to the lexicographically
+    smallest code. Built so each per-language score expression appears
+    EXACTLY ONCE: argmax = array_max over (score, -lang_index) structs
+    (struct comparison is field-order lexicographic, so max score wins
+    and ties go to the smallest index), and the winner struct is
+    consumed through a single-element transform() whose lambda variable
+    is a cheap slot reference.
 
-    Built so each per-language score expression appears EXACTLY ONCE:
-    argmax = array_max over (score, -lang_index) structs (struct
-    comparison is field-order lexicographic, so max score wins and ties
-    go to the smallest index), and the winner struct is consumed through
-    a single-element transform() whose lambda variable is a cheap slot
-    reference. The naive greatest+CASE chain references every score ~6×
-    — harmless under whole-stage codegen CSE, but a 6× real cost inside
-    array lambdas (per-span voting), where codegen cannot reach.
+    The word-profile scores share one combined stopword scan (`hits`)
+    and intersect it per language — both subtrees are lambda-free, so
+    whole-stage codegen CSE evaluates them once per row even though the
+    hits tree appears 24× in the projection (see module header for the
+    measured alternatives).
     """
+    c = F.col(text) if isinstance(text, str) else text
+    prepared = _prepared_expr(c)
+    hits = F.regexp_extract_all(prepared, F.lit(_combined_word_pattern()), 0)
+
+    def score(lang: str) -> Column:
+        kind, payload = LANG_PROFILES[lang]
+        if kind == "script":
+            return F.size(
+                F.regexp_extract_all(prepared, F.lit(_script_pattern(lang)), 0)
+            )
+        return F.size(
+            F.array_intersect(hits, F.array(*[F.lit(f" {w} ") for w in payload]))
+        )
+
     ranked = F.array_max(
         F.array(
             *[
-                F.struct(_score(text, lang).alias("s"), F.lit(-i).alias("r"))
-                for i, lang in enumerate(LANG_STOPWORDS)
+                F.struct(score(lang).alias("s"), F.lit(-i).alias("r"))
+                for i, lang in enumerate(LANG_PROFILES)
             ]
         )
     )
-    langs = F.array(*[F.lit(lang) for lang in LANG_STOPWORDS])
+    langs = F.array(*[F.lit(lang) for lang in LANG_PROFILES])
+    # NO lambda anywhere in this tree — higher-order functions are
+    # CodegenFallback, and one transform() here drops the WHOLE
+    # projection out of whole-stage codegen, so the 24 shared `hits`
+    # subtrees stop being CSE'd and get re-scanned per language
+    # (measured 15 s vs 3.5 s flagship). `ranked` referenced twice is
+    # fine: under codegen, CSE evaluates the argmax once.
+    #
     # Null-safe winner branch: NULL text gives NULL scores, which tie on
     # the index field inside array_max (struct comparison) and would
-    # otherwise crown the first language. `w.s > 0` is false for both
-    # NULL and 0 scores, so each yields NULL — matching the SQL form's
-    # `CASE WHEN best = 0 THEN NULL` + SQL NULL propagation.
-    return F.element_at(
-        F.transform(
-            F.array(ranked),
-            lambda w: F.when(w.s > 0, F.element_at(langs, -w.r + 1)),
-        ),
-        1,
+    # otherwise crown the first language. `s > 0` is false for both NULL
+    # and 0 scores, so each yields NULL — matching the SQL form's
+    # empty-subquery NULL.
+    return F.when(
+        ranked.getField("s") > 0,
+        F.element_at(langs, -ranked.getField("r") + 1),
     )
 
 
 def language_sql(text_sql: str) -> str:
-    """DuckDB SQL with semantics identical to :func:`language_expr`."""
-    ascii_sql = f"regexp_replace({text_sql}, '[^ -~]', ' ', 'g')"
-    score = {
-        lang: f"len(regexp_extract_all({ascii_sql}, '\\b({'|'.join(words)})\\b', 1))"
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    best = "greatest(" + ", ".join(score.values()) + ")"
-    cases = " ".join(
-        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in LANG_STOPWORDS
+    """DuckDB SQL expression with semantics identical to
+    :func:`language_expr`: a correlated scalar subquery ranking the 29
+    (code, score) rows — max score first, code ASC on ties, NULL when
+    every score is 0 or NULL (empty subquery → NULL scalar)."""
+    prep = _prepared_sql(text_sql)
+    hits = f"regexp_extract_all({prep}, '{_combined_word_pattern()}')"
+
+    def score(lang: str) -> str:
+        kind, payload = LANG_PROFILES[lang]
+        if kind == "script":
+            return f"len(regexp_extract_all({prep}, '{_script_pattern(lang)}'))"
+        words = ", ".join(f"' {w} '" for w in payload)
+        return f"len(list_intersect({hits}, [{words}]))"
+
+    values = ", ".join(f"('{lang}', {score(lang)})" for lang in LANG_PROFILES)
+    return (
+        f"(SELECT l FROM (VALUES {values}) AS lang_scores(l, s)"
+        f" WHERE s > 0 ORDER BY s DESC, l ASC LIMIT 1)"
     )
-    return f"(CASE WHEN {best} = 0 THEN NULL {cases} END)"
 
 
 def token_count_expr(text: Column | str) -> Column:

@@ -30,37 +30,47 @@ heuristic in pure Python so both sides agree bit-for-bit.
 from __future__ import annotations
 
 import hashlib
-import re
 from collections import Counter
 from typing import Any, Optional, Sequence
 
 DIMENSION_CONVERSION_FACTOR = 72  # inches -> 72-ppi px (reference base.py:4)
 DEFAULT_BATCH_SIZE = 50  # reference utils.py:15
 
-LANG_STOPWORDS = {
-    "de": ("der", "die", "das", "und", "ist", "nicht"),
-    "en": ("the", "a", "of", "and", "to", "is"),
-    "es": ("el", "los", "las", "y", "es", "una"),
-    "fr": ("le", "les", "et", "est", "dans", "une"),
-}
-
 BOILERPLATE_KINDS = ("pageHeader", "pageFooter", "pageNumber")
 
 
 # ---------------------------------------------------------------------------
-# Language heuristic (must match functions/text.py::language_expr)
+# Language heuristic (must match functions/text.py::language_expr and
+# its language_sql DuckDB mirror — 29 languages, stopword-token counts
+# for Latin/Cyrillic profiles, script-block char counts otherwise;
+# argmax, ties to the lexicographically smallest code, no signal → None)
 # ---------------------------------------------------------------------------
 
 
-def detect_language(text: str) -> Optional[str]:
-    scores = {
-        lang: len(re.findall(r"\b(" + "|".join(words) + r")\b", text))
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    best = max(scores.values())
-    if best == 0:
+def detect_language(text: Optional[str]) -> Optional[str]:
+    from azure_pdf_parser_spark.functions.text import (
+        LANG_PROFILES,
+        LANGID_SAMPLE_CHARS,
+    )
+
+    if text is None:
         return None
-    return min(lang for lang, s in scores.items() if s == best)
+    # str.isalpha() is the same Unicode letter category as the \p{L}
+    # strip in the Spark/DuckDB mirrors; the sample cap, token-set
+    # intersection, and script char counts mirror them too
+    sample = text[:LANGID_SAMPLE_CHARS]
+    cleaned = "".join(ch if ch.isalpha() or ch == " " else " " for ch in sample)
+    tokens = set(cleaned.split(" "))
+    best_lang, best_score = None, 0
+    for lang, (kind, payload) in LANG_PROFILES.items():
+        if kind == "script":
+            lo, hi = payload
+            score = sum(1 for ch in cleaned if lo <= ch <= hi)
+        else:
+            score = len(tokens & set(payload))
+        if score > best_score:  # ties keep the earlier (smaller) code
+            best_lang, best_score = lang, score
+    return best_lang
 
 
 # ---------------------------------------------------------------------------

@@ -614,6 +614,39 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", language_expr("text").alias("language"))
 
 
+def _langid_wide_sql() -> str:
+    from azure_pdf_parser_spark.functions.text import LANGID_WIDE_SENTENCES
+
+    items = ", ".join(f"'{s}'" for s in LANGID_WIDE_SENTENCES.values())
+    n = len(LANGID_WIDE_SENTENCES)
+    return f"""
+WITH wide AS (
+    SELECT doc_id, ([{items}])[CAST(doc_id % {n} AS INT) + 1] AS text
+    FROM documents
+)
+SELECT doc_id, {language_sql('text')} AS language FROM wide
+"""
+
+
+@query("langid_wide", _langid_wide_sql())
+def q_langid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """29-language detection over a deterministic multi-script corpus:
+    each doc gets the sample sentence of language ``doc_id % 29``
+    (Arabic/Hebrew/Greek/Thai/Devanagari/CJK scripts + 21 Latin/Cyrillic
+    stopword profiles), then the detector runs — the gate proves the
+    Spark and DuckDB mirrors agree on every script, and the pytest
+    accuracy test proves each sentence maps back to its own language."""
+    from azure_pdf_parser_spark.functions.text import LANGID_WIDE_SENTENCES
+
+    sents = F.array(*[F.lit(s) for s in LANGID_WIDE_SENTENCES.values()])
+    n = len(LANGID_WIDE_SENTENCES)
+    wide = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(sents, (F.col("doc_id") % n + 1).cast("int")).alias("text"),
+    )
+    return wide.select("doc_id", language_expr("text").alias("language"))
+
+
 @query(
     "dedup_exact",
     """
