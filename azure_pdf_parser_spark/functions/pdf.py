@@ -104,6 +104,156 @@ def content_streams(pdf: bytes) -> list[bytes]:
     return streams
 
 
+# ---------------------------------------------------------------------------
+# O1 on raw bytes: page-batch split (reference utils.py:117-163).
+#
+# The reference re-serializes a PDF into ≤batch_size-page standalone
+# PDFs with pypdf (1-based inclusive ranges, 0-based batch numbers; 68
+# pages @ 12 → 6 batches — pinned by reference tests/test_utils.py:
+# 185-230). This is the dependency-free analog: a minimal object
+# scanner resolves the page tree and per-page content streams, and each
+# batch is rebuilt as a standalone catalog→pages→page(s)→contents PDF.
+#
+# Dialect boundary (documented, quarantine on violation): single-level
+# /Kids page tree, direct (inline) /Length, /Contents as a direct ref
+# or flat array of refs. Object streams / nested page trees raise
+# NotImplementedError → the per-doc quarantine path, same contract as
+# exotic stream filters.
+# ---------------------------------------------------------------------------
+
+_OBJ_START_RE = re.compile(rb"(\d+)\s+0\s+obj")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+DEFAULT_MEDIABOX = b"[0 0 612 792]"
+
+
+def _scan_objects(pdf: bytes) -> dict[int, bytes]:
+    """num → object body (dict + optional stream, without obj/endobj).
+
+    Stream bodies are skipped via their inline /Length so binary
+    (flate) data containing 'endobj' can't truncate the scan."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJ_START_RE.search(pdf, pos)
+        if not m:
+            break
+        start = m.end()
+        sm = _STREAM_START_RE.search(pdf, start)
+        end_marker = pdf.find(b"endobj", start)
+        if sm is not None and (end_marker == -1 or sm.start() < end_marker):
+            head = pdf[start : sm.start()]
+            lm = re.search(rb"/Length\s+(\d+)", head)
+            if lm is None:
+                raise NotImplementedError(
+                    "PDF stream object without inline /Length"
+                )
+            end_marker = pdf.find(b"endobj", sm.end() + int(lm.group(1)))
+        if end_marker == -1:
+            break
+        objs[int(m.group(1))] = pdf[start:end_marker]
+        pos = end_marker + len(b"endobj")
+    return objs
+
+
+def _page_ids(objs: dict[int, bytes]) -> list[int]:
+    for body in objs.values():
+        if re.search(rb"/Type\s*/Pages\b", body) and b"/Kids" in body:
+            kids_m = re.search(rb"/Kids\s*\[(.*?)\]", body, re.DOTALL)
+            kids = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1))]
+            for kid in kids:
+                if re.search(rb"/Type\s*/Pages\b", objs.get(kid, b"")):
+                    raise NotImplementedError("nested /Pages trees unsupported")
+            return kids
+    raise ValueError("no /Pages node found")
+
+
+def _page_contents(objs: dict[int, bytes], page_id: int) -> tuple[list[int], bytes]:
+    """(content object ids, MediaBox bytes) for one page object."""
+    body = objs[page_id]
+    mb = re.search(rb"/MediaBox\s*(\[[^\]]*\])", body)
+    mediabox = mb.group(1) if mb else DEFAULT_MEDIABOX
+    arr = re.search(rb"/Contents\s*\[(.*?)\]", body, re.DOTALL)
+    if arr:
+        refs = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", arr.group(1))]
+    else:
+        single = re.search(rb"/Contents\s+(\d+)\s+0\s+R", body)
+        refs = [int(single.group(1))] if single else []
+    return refs, mediabox
+
+
+def pdf_page_count(pdf: bytes) -> int:
+    if not pdf.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    return len(_page_ids(_scan_objects(pdf)))
+
+
+def _rebuild_pdf(pages: list[tuple[list[bytes], bytes]]) -> bytes:
+    """Standalone PDF from [(content stream object bodies, mediabox)].
+
+    Object layout: 1=catalog, 2=pages, then per page an even/odd pair —
+    no xref table (the in-cluster reader and lenient readers scan;
+    sub-PDFs exist only to feed the parse stage, never as a sink)."""
+    out = [b"%PDF-1.4\n"]
+    out.append(b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    next_id = 3
+    page_entries = []  # (page_id, [content ids], mediabox, [bodies])
+    for bodies, mediabox in pages:
+        page_id = next_id
+        content_ids = list(range(next_id + 1, next_id + 1 + len(bodies)))
+        next_id += 1 + len(bodies)
+        page_entries.append((page_id, content_ids, mediabox, bodies))
+    kids = b" ".join(b"%d 0 R" % (p,) for p, _, _, _ in page_entries)
+    out.append(
+        b"2 0 obj << /Type /Pages /Kids [" + kids + b"] /Count %d >> endobj\n"
+        % (len(page_entries),)
+    )
+    for page_id, content_ids, mediabox, bodies in page_entries:
+        if len(content_ids) == 1:
+            contents = b"%d 0 R" % (content_ids[0],)
+        else:
+            contents = b"[" + b" ".join(b"%d 0 R" % c for c in content_ids) + b"]"
+        out.append(
+            b"%d 0 obj << /Type /Page /Parent 2 0 R /MediaBox " % (page_id,)
+            + mediabox
+            + b" /Contents "
+            + contents
+            + b" >> endobj\n"
+        )
+        for cid, body in zip(content_ids, bodies):
+            out.append(b"%d 0 obj " % (cid,) + body + b"endobj\n")
+    out.append(b"%%EOF\n")
+    return b"".join(out)
+
+
+def split_pdf(pdf: bytes, batch_size: int = 50) -> list[dict]:
+    """[{batch_number, first_page, last_page, content}] — ≤batch_size
+    pages per standalone sub-PDF; 1-based inclusive ranges, 0-based
+    batch numbers (reference utils.py:117-163 split math: 68 pages @ 12
+    → (1,12)..(61,68))."""
+    if batch_size < 1:
+        raise ValueError("Batch size must be greater than 0.")
+    if not pdf.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    objs = _scan_objects(pdf)
+    page_ids = _page_ids(objs)
+    batches = []
+    for batch_number, start in enumerate(range(0, len(page_ids), batch_size)):
+        ids = page_ids[start : start + batch_size]
+        pages = []
+        for pid in ids:
+            refs, mediabox = _page_contents(objs, pid)
+            pages.append(([objs[r] for r in refs], mediabox))
+        batches.append(
+            {
+                "batch_number": batch_number,
+                "first_page": start + 1,
+                "last_page": start + len(ids),
+                "content": _rebuild_pdf(pages),
+            }
+        )
+    return batches
+
+
 def pdf_to_spans(pdf: bytes) -> list[dict]:
     """Parse one PDF into interleaved (kind, text, media_ref, offset).
 

@@ -48,11 +48,16 @@ def _parse_pdf_bytes(content: bytes, fake_parser=None) -> list[dict]:
     return pdf_to_spans(content)
 
 
-def parse_documents(raw: DataFrame) -> DataFrame:
+def parse_documents(
+    raw: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, content_type, content binary) → (doc_id, spans, status, error).
 
     Vectorized: one Python invocation per Arrow batch, not per row; all
-    decode errors are caught per document.
+    decode errors are caught per document. ``passthrough`` names extra
+    input columns carried verbatim into the output (e.g. batch_number
+    for the page-split chain) — their Arrow types are taken from the
+    input schema.
     """
 
     # captured at plan-build time so cloudpickle ships the test fake to
@@ -64,8 +69,12 @@ def parse_documents(raw: DataFrame) -> DataFrame:
 
         for pdf_batch in batches:
             out = []
-            for doc_id, ctype, content in zip(
-                pdf_batch["doc_id"], pdf_batch["content_type"], pdf_batch["content"]
+            extra_cols = [pdf_batch[c] for c in passthrough]
+            for doc_id, ctype, content, *extras in zip(
+                pdf_batch["doc_id"],
+                pdf_batch["content_type"],
+                pdf_batch["content"],
+                *extra_cols,
             ):
                 try:
                     if ctype == "text/html":
@@ -76,11 +85,17 @@ def parse_documents(raw: DataFrame) -> DataFrame:
                         spans = _parse_pdf_bytes(bytes(content), fake_parser)
                     else:
                         raise ValueError(f"unsupported content type: {ctype}")
-                    out.append((doc_id, spans, "ok", None))
+                    out.append((doc_id, *extras, spans, "ok", None))
                 except Exception as e:  # per-doc quarantine, task survives
-                    out.append((doc_id, None, "failed", f"{type(e).__name__}: {e}"))
+                    out.append(
+                        (doc_id, *extras, None, "failed", f"{type(e).__name__}: {e}")
+                    )
             yield pd.DataFrame(
-                out, columns=["doc_id", "spans", "status", "error"]
+                out,
+                columns=["doc_id", *passthrough, "spans", "status", "error"],
             )
 
-    return raw.mapInPandas(run, schema=PARSED_SCHEMA)
+    in_types = dict(raw.dtypes)
+    extra_schema = "".join(f"{c} {in_types[c]}, " for c in passthrough)
+    schema = PARSED_SCHEMA.replace("doc_id string, ", f"doc_id string, {extra_schema}")
+    return raw.mapInPandas(run, schema=schema)

@@ -218,6 +218,67 @@ def q_pdf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDF_SPLIT_BATCH = 4  # gate-scale batch size (prod default 50)
+
+
+@query(
+    "pdf_split",
+    f"""
+WITH {SPANIZE_SQL_CTE},
+npages AS (
+    SELECT doc_id,
+           CAST(ceil(count(*) / {pdfize.CHUNKS_PER_PAGE}.0) AS INT) AS n_pages
+    FROM spanize GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(t.b AS INT) AS batch_number,
+       CAST(t.b * {_PDF_SPLIT_BATCH} + 1 AS INT) AS first_page,
+       CAST(least(t.b * {_PDF_SPLIT_BATCH} + {_PDF_SPLIT_BATCH}, n.n_pages) AS INT) AS last_page
+FROM npages n
+CROSS JOIN LATERAL (
+    SELECT UNNEST(range(CAST(ceil(n.n_pages / {_PDF_SPLIT_BATCH}.0) AS BIGINT))) AS b
+) t
+""",
+)
+def q_pdf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 on raw bytes: multi-page PDFs synthesized JVM-side (one page
+    per {CHUNKS_PER_PAGE} spanize chunks) are split by the dependency-
+    free byte splitter into ≤4-page standalone sub-PDFs; the plan
+    (1-based inclusive ranges, 0-based batch numbers — reference
+    utils.py:117-163, pinned by its tests/test_utils.py:185-230) must
+    match the oracle's prediction from the chunk count alone."""
+    from azure_pdf_parser_spark.operators.pdf_split import split_pdf_pages
+
+    raw = pdfize.synth_multipage_pdf_documents(_docs(spark, sf_dir))
+    parts = split_pdf_pages(raw, batch_size=_PDF_SPLIT_BATCH)
+    return parts.where(F.col("status") == "ok").select(
+        "doc_id", "batch_number", "first_page", "last_page"
+    )
+
+
+@query(
+    "pdf_split_parse",
+    f"""
+SELECT doc_id, ord, kind, text, media_ref FROM (
+    WITH {SPANIZE_SQL_CTE},{pdfize.PDF_PARSE_SQL}
+) q
+""",
+)
+def q_pdf_split_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full raw-byte chain — split into sub-PDFs, parse each batch
+    independently (fanned out across tasks), merge in batch order — must
+    reproduce the whole-PDF parse span sequence on (kind, text,
+    media_ref, order): the north rule's span-sequence equality, proven
+    against the same oracle that pins the single-unit pdf_parse gate
+    (byte offsets are per-batch and deliberately not compared)."""
+    from azure_pdf_parser_spark.operators.pdf_split import parse_split_pdfs
+
+    raw = pdfize.synth_multipage_pdf_documents(_docs(spark, sf_dir))
+    return parse_split_pdfs(raw, batch_size=_PDF_SPLIT_BATCH).select(
+        "doc_id", "ord", "kind", "text", "media_ref"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Table-cell span semi-join (SURVEY §2 O5/O6) — relational form
 # ---------------------------------------------------------------------------

@@ -52,11 +52,7 @@ _HEADER = (
 _FOOTER = "endstream\nendobj\n%%EOF\n"
 
 
-def pdf_col(doc_id: Column, text: Column) -> Column:
-    """One PDF document (string; encode to binary at the source)."""
-    words = F.split(text, " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(float(WORDS_PER_SPAN))).cast("int")
-
+def _fragment_builder(doc_id: Column, words: Column):
     def fragment(i: Column) -> Column:
         chunk_text = F.array_join(
             F.slice(words, i * WORDS_PER_SPAN + 1, WORDS_PER_SPAN), " "
@@ -78,8 +74,16 @@ def pdf_col(doc_id: Column, text: Column) -> Column:
             c1 == "f", F.concat(F.lit("/Im"), h, F.lit(" Do\n"))
         ).otherwise(expr)
 
+    return fragment
+
+
+def pdf_col(doc_id: Column, text: Column) -> Column:
+    """One single-page PDF document (string; encode to binary at the source)."""
+    words = F.split(text, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(WORDS_PER_SPAN))).cast("int")
     stream = F.array_join(
-        F.transform(F.sequence(F.lit(0), n_chunks - 1), fragment), ""
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), _fragment_builder(doc_id, words)),
+        "",
     )
     return F.concat(
         F.lit(_HEADER),
@@ -87,6 +91,87 @@ def pdf_col(doc_id: Column, text: Column) -> Column:
         F.lit(" >>\nstream\n"),
         stream,
         F.lit(_FOOTER),
+    )
+
+
+CHUNKS_PER_PAGE = 3
+
+
+def multipage_pdf_col(
+    doc_id: Column, text: Column, chunks_per_page: int = CHUNKS_PER_PAGE
+) -> Column:
+    """One MULTI-page PDF: chunk i lands on page i // chunks_per_page,
+    each page its own object pair (page, content stream) under a
+    single-level /Kids tree — the shape the raw-byte page splitter
+    (functions/pdf.py::split_pdf) consumes. Page count = ceil(n_chunks /
+    chunks_per_page), so the split plan is oracle-predictable from the
+    spanize chunk count."""
+    words = F.split(text, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(WORDS_PER_SPAN))).cast("int")
+    n_pages = F.ceil(n_chunks / F.lit(float(chunks_per_page))).cast("int")
+    fragment = _fragment_builder(doc_id, words)
+
+    def page_stream(p: Column) -> Column:
+        first = p * chunks_per_page
+        last = F.least(first + chunks_per_page, n_chunks) - 1
+        return F.array_join(F.transform(F.sequence(first, last), fragment), "")
+
+    def page_objs(p: Column) -> Column:
+        stream = page_stream(p)
+        page_id = (p * 2 + 3).cast("string")
+        content_id = (p * 2 + 4).cast("string")
+        return F.concat(
+            page_id,
+            F.lit(
+                " 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                " /Contents "
+            ),
+            content_id,
+            F.lit(" 0 R >> endobj\n"),
+            content_id,
+            F.lit(" 0 obj << /Length "),
+            F.length(stream).cast("string"),
+            F.lit(" >>\nstream\n"),
+            stream,
+            F.lit("endstream\nendobj\n"),
+        )
+
+    kids = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_pages - 1),
+            lambda p: F.concat((p * 2 + 3).cast("string"), F.lit(" 0 R")),
+        ),
+        " ",
+    )
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_pages - 1), page_objs), ""
+    )
+    return F.concat(
+        F.lit(
+            "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            "2 0 obj << /Type /Pages /Kids ["
+        ),
+        kids,
+        F.lit("] /Count "),
+        n_pages.cast("string"),
+        F.lit(" >> endobj\n"),
+        body,
+        F.lit("%%EOF\n"),
+    )
+
+
+def synth_multipage_pdf_documents(
+    docs: DataFrame, chunks_per_page: int = CHUNKS_PER_PAGE
+) -> DataFrame:
+    """(doc_id, content_type='application/pdf', content binary) rows —
+    multi-page variant for the raw-byte split path."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("application/pdf").alias("content_type"),
+        F.encode(
+            multipage_pdf_col(F.col("doc_id"), F.col("text"), chunks_per_page),
+            "UTF-8",
+        ).alias("content"),
     )
 
 
