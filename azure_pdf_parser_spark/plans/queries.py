@@ -976,7 +976,14 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"COPY (SELECT * FROM '{src}' WHERE {cond} ORDER BY ts, event_id) "
                 f"TO '{in_dir}/{name}.parquet' (FORMAT PARQUET)"
             )
-        q = start_stateful_sessionize(spark, in_dir, out_dir, ckpt)
+        # watermark far behind the data: idle-expiry (EventTimeTimeout)
+        # machinery is active but provably never fires inside the gate
+        # window, so the oracle prediction stays "all sessions minus
+        # each user's still-open final one" (expiry itself is pinned by
+        # tests/test_stateful_streaming.py with a tight watermark)
+        q = start_stateful_sessionize(
+            spark, in_dir, out_dir, ckpt, watermark_delay="3650 days"
+        )
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError(

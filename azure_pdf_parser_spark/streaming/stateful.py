@@ -16,10 +16,13 @@ canonical streaming shapes a production event pipeline needs:
 
 Scale notes: state is keyed by user_id (high cardinality, uniform);
 each micro-batch shuffles only its own rows to the state partitions.
-The sessionizer assumes micro-batches arrive in event-time order per
-key (file source with time-ordered landing, or a watermark-sorted
-upstream); events within a batch are sorted inside the UDF, so
-intra-batch disorder is handled.
+State is BOUNDED by EventTimeTimeout: when the watermark passes an open
+session's last event + gap, the session is emitted and its state
+removed — without this, every user who stops clicking would live in
+the state store forever. Late data tolerance: events older than the
+watermark are dropped by Spark before the UDF; events newer than the
+watermark but older than the session's last-seen (cross-batch
+disorder) fold into the open session without regressing its clock.
 """
 
 from __future__ import annotations
@@ -103,11 +106,34 @@ def stream_windowed_counts(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def _emit(user_id, sessions) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [
+                pd.Timestamp(s, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+                for s, _, _ in sessions
+            ],
+            "n_events": [c for _, c, _ in sessions],
+            "total_value": [round(tv, 6) for _, _, tv in sessions],
+        }
+    )
+
+
 def _sessionize_fn(gap_seconds: int):
     gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+
+        # watermark passed last_seen + gap with no successor: the idle
+        # session expires — emit it and free the state slot
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield _emit(user_id, [(start_us, n, total)])
+            return
+
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["ts", "event_id"])
         ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
@@ -123,6 +149,12 @@ def _sessionize_fn(gap_seconds: int):
         for t, v in zip(ts_us, values):
             if start_us is None:
                 start_us, last_us, n, total = t, t, 1, float(v)
+            elif t <= last_us:
+                # cross-batch disorder (late but above the watermark, or
+                # a duplicate timestamp): fold into the open session
+                # without regressing its clock
+                start_us = min(start_us, t)
+                n, total = n + 1, total + float(v)
             elif t - last_us > gap_us:
                 closed.append((start_us, n, total))
                 start_us, last_us, n, total = t, t, 1, float(v)
@@ -130,40 +162,43 @@ def _sessionize_fn(gap_seconds: int):
                 last_us, n, total = t, n + 1, total + float(v)
 
         state.update((start_us, last_us, n, total))
+        # expire the open session when the watermark passes last + gap;
+        # the timestamp must stay above the current watermark or Spark
+        # rejects it (can happen when a whole batch is late-but-allowed)
+        timeout_ms = max(
+            last_us // 1000 + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [
-                        pd.Timestamp(s, unit="us").strftime("%Y-%m-%d %H:%M:%S")
-                        for s, _, _ in closed
-                    ],
-                    "n_events": [c for _, c, _ in closed],
-                    "total_value": [round(tv, 6) for _, _, tv in closed],
-                }
-            )
+            yield _emit(user_id, closed)
 
     return fn
 
 
 def stateful_sessionize(
-    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator.
 
-    Emits a session row the moment it CLOSES (a later event past the
-    gap); the open session per user persists in the state store between
-    micro-batches. Semantics mirror operators/events.sessionize — the
-    batch plan emits every session including still-open ones, the
-    stream emits the closed prefix (the tests pin exactly that
-    relationship).
+    Emits a session row when it CLOSES — either a later event past the
+    gap arrives, or the event-time watermark passes its last event +
+    gap (idle expiry via EventTimeTimeout, which also bounds the state
+    store). ``watermark_delay`` is the late-data allowance: events that
+    far behind the max seen event time are dropped by Spark; anything
+    newer folds into the open session even if it arrives out of order.
     """
-    return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(gap_seconds),
-        outputStructType=SESSION_OUTPUT_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf="NoTimeout",
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     )
 
 
@@ -173,8 +208,11 @@ def start_stateful_sessionize(
     output_dir: str,
     checkpoint_dir: str,
     gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark_delay: str = "1 hour",
 ) -> StreamingQuery:
-    out = stateful_sessionize(read_event_stream(spark, input_dir), gap_seconds)
+    out = stateful_sessionize(
+        read_event_stream(spark, input_dir), gap_seconds, watermark_delay
+    )
     return (
         out.writeStream.format("parquet")
         .option("path", output_dir)
