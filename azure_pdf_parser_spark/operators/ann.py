@@ -51,12 +51,38 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+# Exact top-k is O(n²) by construction — it exists as the correctness
+# baseline the LSH/IVF tiers are gated against, not as a scale path.
+# The guard refuses inputs past this many vectors so a misrouted
+# production call fails loudly instead of launching a 10¹²-pair join.
+EXACT_TOPK_MAX_ROWS = 100_000
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    max_rows: int | None = EXACT_TOPK_MAX_ROWS,
+) -> DataFrame:
     """(vec_id, neighbor_id, rank, cosine): exact top-k cosine neighbors.
 
     rank is deterministic: (round(cosine,6) DESC, neighbor_id ASC).
+
+    O(n²) CORRECTNESS BASELINE — use :func:`lsh_cosine_topk` or
+    :func:`ivf_topk` at scale. ``max_rows`` (None disables) bounds the
+    input with a cheap count of the id column; the count job is noise
+    next to the quadratic join it guards.
     """
     from pyspark.sql.window import Window
+
+    if max_rows is not None:
+        n = embeddings.select("vec_id").count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_topk is the exact O(n²) baseline; input has {n} "
+                f"vectors > max_rows={max_rows}. Use lsh_cosine_topk / "
+                "ivf_topk for large inputs, or pass max_rows=None if the "
+                "quadratic cost is truly intended."
+            )
 
     a = with_norm(embeddings).alias("a")
     b = with_norm(embeddings).alias("b")

@@ -112,17 +112,21 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
 
 
-def synth_media(spans_df: DataFrame) -> DataFrame:
+def synth_media(spans_df: DataFrame, fmt: str = "png") -> DataFrame:
     """Deterministic media table from the corpus' media spans.
 
     For each ``figure`` span (media_ref = 'media://' || h), synthesizes
-    a REAL 24-byte PNG header blob — magic + IHDR length/tag + width +
-    height big-endian — with ``width = 16·(nib1(h)+1)``,
-    ``height = 16·(nib2(h)+1)`` from the hash nibbles. The blob is built
-    JVM-side with unhex/lpad (no Python), and round-trips through the
-    REAL byte-level sniffing in :func:`extract_media_features`, so the
+    a REAL header blob in the requested format — PNG/GIF/JPEG image
+    headers with ``width = 16·(nib1(h)+1)``, ``height = 16·(nib2(h)+1)``
+    from the hash nibbles, or a WAV RIFF header whose channel count /
+    sample rate derive from the same nibbles. The blob is built JVM-side
+    with unhex/lpad (no Python), and round-trips through the REAL
+    byte-level sniffing in :func:`extract_media_features`, so the
     mapInPandas plumbing is exercised end-to-end against a SQL oracle
-    that predicts the parsed dimensions from the same nibbles.
+    that predicts the parsed dimensions from the same nibbles. Each
+    format exercises a distinct endianness/segment-walk code path:
+    PNG big-endian u32, GIF little-endian u16, JPEG SOF0 marker walk,
+    WAV RIFF chunk offsets.
     """
     from pyspark.sql import functions as F
 
@@ -136,19 +140,62 @@ def synth_media(spans_df: DataFrame) -> DataFrame:
     def nib(i: int):
         return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
 
+    def hex_be16(col):
+        return F.lpad(F.hex(col), 4, "0")
+
+    def hex_le16(col):
+        be = hex_be16(col)
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    def hex_le32(col):
+        be = F.lpad(F.hex(col), 8, "0")
+        return F.concat(
+            F.substring(be, 7, 2), F.substring(be, 5, 2),
+            F.substring(be, 3, 2), F.substring(be, 1, 2),
+        )
+
     width = (16 * (nib(1) + 1)).cast("int")
     height = (16 * (nib(2) + 1)).cast("int")
-    content = F.unhex(
-        F.concat(
+    if fmt == "png":
+        media_type = "image"
+        hex_blob = F.concat(
             F.lit("89504E470D0A1A0A0000000D49484452"),  # PNG magic + IHDR
             F.lpad(F.hex(width), 8, "0"),
             F.lpad(F.hex(height), 8, "0"),
         )
-    )
+    elif fmt == "gif":
+        media_type = "image"
+        # GIF89a magic + logical-screen width/height (little-endian u16)
+        hex_blob = F.concat(
+            F.lit("474946383961"), hex_le16(width), hex_le16(height)
+        )
+    elif fmt == "jpeg":
+        media_type = "image"
+        # SOI + SOF0 marker (len 0x11, precision 8) + height + width
+        # (big-endian u16, height first — JPEG quirk) + 1 pad byte so the
+        # segment walk's i+9 < len guard holds
+        hex_blob = F.concat(
+            F.lit("FFD8FFC0001108"),
+            hex_be16(height), hex_be16(width), F.lit("00"),
+        )
+    elif fmt == "wav":
+        media_type = "audio"
+        channels = (nib(1) % 2 + 1).cast("int")
+        rate = (8000 * (nib(2) + 1)).cast("int")
+        # RIFF size WAVE "fmt " chunklen=16 audiofmt=1(PCM) + channels
+        # (LE u16) + sample rate (LE u32) — the canonical 28-byte prefix
+        hex_blob = F.concat(
+            F.lit("5249464618000000"),          # "RIFF" + size 24 LE
+            F.lit("57415645666D7420"),          # "WAVE" + "fmt "
+            F.lit("10000000"), F.lit("0100"),   # chunk len 16 LE, PCM
+            hex_le16(channels), hex_le32(rate),
+        )
+    else:
+        raise ValueError(f"unknown synth format: {fmt}")
     return spans.select(
         F.col("s.media_ref").alias("media_ref"),
-        F.lit("image").alias("media_type"),
-        content.alias("content"),
+        F.lit(media_type).alias("media_type"),
+        F.unhex(hex_blob).alias("content"),
     )
 
 
@@ -165,6 +212,35 @@ SELECT media_ref,
 FROM spanize
 WHERE kind = 'figure'
 """
+
+# Same prediction for the other header formats: GIF/JPEG share the PNG
+# dimension formula (different byte encodings, same nibble source); WAV
+# maps (channels, sample_rate) into the (width, height) feature slots.
+_MEDIA_SQL_TEMPLATE = """
+SELECT media_ref,
+       '{media_type}' AS media_type,
+       CAST({n_bytes} AS BIGINT) AS n_bytes,
+       '{fmt}' AS format,
+       CAST({width} AS INT) AS width,
+       CAST({height} AS INT) AS height,
+       'ok' AS status
+FROM spanize
+WHERE kind = 'figure'
+"""
+_NIB1 = "(instr('0123456789abcdef', substr(media_ref, 9, 1)) - 1)"
+_NIB2 = "(instr('0123456789abcdef', substr(media_ref, 10, 1)) - 1)"
+MEDIA_FEATURES_GIF_SQL = _MEDIA_SQL_TEMPLATE.format(
+    media_type="image", n_bytes=10, fmt="gif",
+    width=f"16 * ({_NIB1} + 1)", height=f"16 * ({_NIB2} + 1)",
+)
+MEDIA_FEATURES_JPEG_SQL = _MEDIA_SQL_TEMPLATE.format(
+    media_type="image", n_bytes=12, fmt="jpeg",
+    width=f"16 * ({_NIB1} + 1)", height=f"16 * ({_NIB2} + 1)",
+)
+MEDIA_FEATURES_WAV_SQL = _MEDIA_SQL_TEMPLATE.format(
+    media_type="audio", n_bytes=28, fmt="wav",
+    width=f"{_NIB1} % 2 + 1", height=f"8000 * ({_NIB2} + 1)",
+)
 
 
 DECODED_SCHEMA = (

@@ -29,8 +29,17 @@ from pyspark.sql import DataFrame
 PARSED_SCHEMA = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "status string, error string"
+    "status string, error string, attempts int"
 )
+
+# Reference parity (O16): the reference pins exactly 3 attempts per
+# Azure call (reference azure_wrapper.py retry wrapper, pinned by its
+# tests/test_azure_wrapper.py:34-55). In-cluster the retry guards
+# transient faults (object-store reads, OOM-killed codec subprocesses);
+# a deterministic parse error fails identically all 3 times and then
+# quarantines — same observable semantics as the reference's
+# retry-then-skip.
+MAX_ATTEMPTS = 3
 
 # test seam: set to a callable bytes -> list[span dict] to fake PDF decode
 FAKE_PDF_PARSER: Optional[Callable[[bytes], list[dict]]] = None
@@ -49,15 +58,21 @@ def _parse_pdf_bytes(content: bytes, fake_parser=None) -> list[dict]:
 
 
 def parse_documents(
-    raw: DataFrame, passthrough: tuple[str, ...] = ()
+    raw: DataFrame,
+    passthrough: tuple[str, ...] = (),
+    max_attempts: int = MAX_ATTEMPTS,
 ) -> DataFrame:
-    """(doc_id, content_type, content binary) → (doc_id, spans, status, error).
+    """(doc_id, content_type, content binary) →
+    (doc_id, spans, status, error, attempts).
 
     Vectorized: one Python invocation per Arrow batch, not per row; all
-    decode errors are caught per document. ``passthrough`` names extra
-    input columns carried verbatim into the output (e.g. batch_number
-    for the page-split chain) — their Arrow types are taken from the
-    input schema.
+    decode errors are caught per document and retried up to
+    ``max_attempts`` times (reference O16 semantics: 3 attempts, then
+    skip-and-continue). ``attempts`` records how many tries the doc
+    took — lineage for spotting flaky inputs at scale. ``passthrough``
+    names extra input columns carried verbatim into the output (e.g.
+    batch_number for the page-split chain) — their Arrow types are
+    taken from the input schema.
     """
 
     # captured at plan-build time so cloudpickle ships the test fake to
@@ -66,6 +81,15 @@ def parse_documents(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from azure_pdf_parser_spark.functions.html import html_to_spans
+
+        def parse_one(ctype, content):
+            if ctype == "text/html":
+                return html_to_spans(
+                    bytes(content).decode("utf-8", errors="replace")
+                )
+            if ctype == "application/pdf":
+                return _parse_pdf_bytes(bytes(content), fake_parser)
+            raise ValueError(f"unsupported content type: {ctype}")
 
         for pdf_batch in batches:
             out = []
@@ -76,23 +100,22 @@ def parse_documents(
                 pdf_batch["content"],
                 *extra_cols,
             ):
-                try:
-                    if ctype == "text/html":
-                        spans = html_to_spans(
-                            bytes(content).decode("utf-8", errors="replace")
-                        )
-                    elif ctype == "application/pdf":
-                        spans = _parse_pdf_bytes(bytes(content), fake_parser)
-                    else:
-                        raise ValueError(f"unsupported content type: {ctype}")
-                    out.append((doc_id, *extras, spans, "ok", None))
-                except Exception as e:  # per-doc quarantine, task survives
-                    out.append(
-                        (doc_id, *extras, None, "failed", f"{type(e).__name__}: {e}")
-                    )
+                for attempt in range(1, max_attempts + 1):
+                    try:
+                        spans = parse_one(ctype, content)
+                        out.append((doc_id, *extras, spans, "ok", None, attempt))
+                        break
+                    except Exception as e:
+                        if attempt == max_attempts:
+                            # per-doc quarantine, task survives
+                            out.append(
+                                (doc_id, *extras, None, "failed",
+                                 f"{type(e).__name__}: {e}", attempt)
+                            )
             yield pd.DataFrame(
                 out,
-                columns=["doc_id", *passthrough, "spans", "status", "error"],
+                columns=["doc_id", *passthrough, "spans", "status", "error",
+                         "attempts"],
             )
 
     in_types = dict(raw.dtypes)

@@ -882,6 +882,40 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_fmt(fmt: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from azure_pdf_parser_spark.operators.multimodal import (
+            extract_media_features,
+            synth_media,
+        )
+
+        media = synth_media(_spans(spark, sf_dir), fmt=fmt)
+        return extract_media_features(media).select(
+            "media_ref", "media_type", "n_bytes", "format", "width", "height",
+            "status",
+        )
+
+    run.__doc__ = (
+        f"Multimodal plumbing for the {fmt} header path: JVM-side synth of "
+        f"real {fmt} header bytes, parsed back by the byte-level mapInPandas "
+        "extractor; oracle predicts the dimensions from the hash nibbles."
+    )
+    return run
+
+
+from azure_pdf_parser_spark.operators import multimodal as _mm  # noqa: E402
+
+q_media_features_gif = query(
+    "media_features_gif", f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_FEATURES_GIF_SQL}"
+)(_q_media_fmt("gif"))
+q_media_features_jpeg = query(
+    "media_features_jpeg", f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_FEATURES_JPEG_SQL}"
+)(_q_media_fmt("jpeg"))
+q_media_features_wav = query(
+    "media_features_wav", f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_FEATURES_WAV_SQL}"
+)(_q_media_fmt("wav"))
+
+
 @query("dedup_embedding_cosine", ann.EMBEDDING_NEAR_DUP_SQL.format(bits=ann.LSH_BITS, threshold=0.35))
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed candidate gen)."""

@@ -138,3 +138,49 @@ def test_fake_pdf_parser_seam(spark):
         assert got["spans"][0]["text"] == "page one text"
     finally:
         parse_mod.FAKE_PDF_PARSER = None
+
+
+def test_parse_retry_bounded_attempts(spark):
+    """O16 parity: a transiently-failing doc succeeds on a later attempt
+    (attempts recorded), a permanently-failing doc quarantines after
+    exactly MAX_ATTEMPTS tries — the reference pins 3 attempts per call
+    (its tests/test_azure_wrapper.py:34-55)."""
+    from azure_pdf_parser_spark.operators import parse as parse_mod
+    from azure_pdf_parser_spark.operators.parse import MAX_ATTEMPTS, parse_documents
+    from azure_pdf_parser_spark.schemas import RAW_DOCUMENT
+
+    class Flaky:
+        """Fails the first N calls per doc payload, then succeeds."""
+
+        def __init__(self):
+            self.calls = {}
+
+        def __call__(self, content: bytes) -> list[dict]:
+            text = content.decode()
+            n = self.calls.get(text, 0) + 1
+            self.calls[text] = n
+            fail_first = int(text.split(":")[0])
+            if n <= fail_first:
+                raise IOError(f"transient fault #{n}")
+            return [{"kind": "Text", "text": text, "media_ref": None, "offset": 0}]
+
+    parse_mod.FAKE_PDF_PARSER = Flaky()
+    try:
+        rows = [
+            ("ok0", "application/pdf", b"0:clean"),       # first try
+            ("ok2", "application/pdf", b"2:flaky"),       # 3rd try succeeds
+            ("dead", "application/pdf", b"99:hopeless"),  # never succeeds
+        ]
+        # single partition → one Python worker → the Flaky call-counter
+        # state survives across the retry loop
+        raw = spark.createDataFrame(rows, RAW_DOCUMENT).coalesce(1)
+        got = {r["doc_id"]: r for r in parse_documents(raw).collect()}
+    finally:
+        parse_mod.FAKE_PDF_PARSER = None
+
+    assert got["ok0"]["status"] == "ok" and got["ok0"]["attempts"] == 1
+    assert got["ok2"]["status"] == "ok" and got["ok2"]["attempts"] == 3
+    assert got["ok2"]["spans"][0]["text"] == "2:flaky"
+    assert got["dead"]["status"] == "failed"
+    assert got["dead"]["attempts"] == MAX_ATTEMPTS
+    assert "transient fault #3" in got["dead"]["error"]
