@@ -86,21 +86,140 @@ def classify_kind(size: float, y: float) -> str:
     return "Text"
 
 
+def _decode_ascii_hex(body: bytes) -> bytes:
+    data = body.split(b">")[0]
+    data = bytes(c for c in data if c not in b" \t\r\n\f\0")
+    if len(data) % 2:
+        data += b"0"  # PDF spec: odd final digit implies trailing 0
+    return bytes.fromhex(data.decode("ascii"))
+
+
+def _decode_ascii85(body: bytes) -> bytes:
+    import base64
+
+    data = body.strip()
+    if not data.startswith(b"<~"):
+        data = b"<~" + data  # PDF streams omit the Adobe leader
+    if not data.endswith(b"~>"):
+        data += b"~>"
+    return base64.a85decode(data, adobe=True)
+
+
+def _decode_lzw(body: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode: MSB-first variable-width codes, 9→12 bits, clear
+    code 256, EOD 257, EarlyChange=1 (width bumps one code early — the
+    PDF default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    buf = bits = 0
+    for byte in body:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK case
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _decode_run_length(body: bytes) -> bytes:
+    out, i = bytearray(), 0
+    while i < len(body):
+        n = body[i]
+        if n == 128:  # EOD
+            break
+        if n < 128:
+            out += body[i + 1 : i + 2 + n]
+            i += 2 + n
+        else:
+            out += body[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+_FILTER_DECODERS = {
+    b"FlateDecode": zlib.decompress,
+    b"Fl": zlib.decompress,
+    b"LZWDecode": _decode_lzw,
+    b"LZW": _decode_lzw,
+    b"ASCII85Decode": _decode_ascii85,
+    b"A85": _decode_ascii85,
+    b"ASCIIHexDecode": _decode_ascii_hex,
+    b"AHx": _decode_ascii_hex,
+    b"RunLengthDecode": _decode_run_length,
+    b"RL": _decode_run_length,
+}
+
+_FILTER_LIST_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def decode_stream(d: bytes, body: bytes) -> bytes:
+    """Apply the stream dict's /Filter chain in order.
+
+    Supported: FlateDecode, LZWDecode, ASCII85Decode, ASCIIHexDecode,
+    RunLengthDecode — and any /Filter [A B ...] composition of them
+    (e.g. [/ASCII85Decode /FlateDecode]). Image codecs (DCT/JPX/CCITT/
+    JBIG2) never appear on *content* streams — image XObject data is
+    treated as opaque upstream. Predictors (/DecodeParms /Predictor > 1)
+    quarantine: they only occur on image/xref data in practice.
+    """
+    m = _FILTER_LIST_RE.search(d)
+    if not m:
+        return body
+    names = (
+        [n.group(1) for n in _NAME_RE.finditer(m.group(1))]
+        if m.group(1) is not None
+        else [m.group(2)]
+    )
+    pm = re.search(rb"/Predictor\s+(\d+)", d)
+    if pm and int(pm.group(1)) > 1:
+        raise NotImplementedError("PDF stream predictors unsupported")
+    for name in names:
+        decoder = _FILTER_DECODERS.get(name)
+        if decoder is None:
+            raise NotImplementedError(
+                f"unsupported PDF stream filter /{name.decode('ascii')}"
+            )
+        body = decoder(body)
+    return body
+
+
 def content_streams(pdf: bytes) -> list[bytes]:
-    """All page content streams, decompressed. Raises NotImplementedError
-    on filters other than FlateDecode."""
+    """All page content streams, decoded through their /Filter chains
+    (Flate/LZW/ASCII85/ASCIIHex/RunLength and compositions thereof).
+
+    ``/Subtype /Image`` streams are opaque pixel data — they carry no
+    content operators and are skipped outright, so DCT/JPX-image-heavy
+    real-world PDFs parse instead of quarantining (their figures still
+    surface as media spans via the ``/ImX Do`` references in the content
+    streams). Unsupported filters on a *content* stream still raise →
+    per-doc quarantine."""
     streams = []
     for m in STREAM_RE.finditer(pdf):
         d, body = m.group(1), m.group(2)
-        if b"/Filter" in d:
-            if b"/FlateDecode" in d:
-                body = zlib.decompress(body)
-            else:
-                raise NotImplementedError(
-                    "unsupported PDF stream filter (only FlateDecode)"
-                )
+        if re.search(rb"/Subtype\s*/Image\b", d):
+            continue
         # XObject/forms with no text ops just contribute no spans
-        streams.append(body)
+        streams.append(decode_stream(d, body))
     return streams
 
 

@@ -83,3 +83,148 @@ def test_classify_bands():
     assert classify_kind(16, 400) == "title"
     assert classify_kind(13, 400) == "sectionHeading"
     assert classify_kind(12.9, 400) == "Text"
+
+
+# --- stream filter coverage: LZW / ASCII85 / ASCIIHex / RunLength -----------
+
+
+def _wrap_filtered(body: bytes, filt: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"3 0 obj << /Type /Page /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(body)).encode() + b" /Filter " + filt
+        + b" >>\nstream\n" + body + b"endstream\nendobj\n%%EOF\n"
+    )
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Reference PDF LZW encoder (MSB-first, 9→12 bits, EarlyChange=1)
+    for round-trip testing the decoder."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]  # leading clear code
+    w = b""
+    for b in data:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+            continue
+        out_bits.append((table[w], width))
+        table[wb] = next_code
+        next_code += 1
+        # encoder widens when the NEXT code to emit could be next_code
+        # (EarlyChange=1: one early, mirroring the decoder's bump)
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))  # EOD
+    buf = bits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        buf = (buf << wd) | code
+        bits += wd
+        while bits >= 8:
+            bits -= 8
+            out.append((buf >> bits) & 0xFF)
+    if bits:
+        out.append((buf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _rl_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run > 1:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data)
+                and j - i < 128
+                and not (j + 1 < len(data) and data[j + 1] == data[j])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def test_ascii_hex_decode():
+    body = STREAM.hex().encode() + b">"
+    assert pdf_to_spans(_wrap_filtered(body, b"/ASCIIHexDecode")) == pdf_to_spans(
+        _wrap(STREAM)
+    )
+
+
+def test_ascii85_decode():
+    import base64
+
+    body = base64.a85encode(STREAM, adobe=True)[2:]  # PDF omits the <~ leader
+    assert pdf_to_spans(_wrap_filtered(body, b"/ASCII85Decode")) == pdf_to_spans(
+        _wrap(STREAM)
+    )
+
+
+def test_lzw_decode_roundtrip():
+    # long repetitive stream: forces table growth through a width bump
+    stream = STREAM * 30
+    body = _lzw_encode(stream)
+    assert pdf_to_spans(_wrap_filtered(body, b"/LZWDecode")) == pdf_to_spans(
+        _wrap(stream)
+    )
+
+
+def test_run_length_decode():
+    stream = STREAM + b"BT (" + b"a" * 200 + b") Tj ET\n"
+    body = _rl_encode(stream)
+    assert pdf_to_spans(_wrap_filtered(body, b"/RunLengthDecode")) == pdf_to_spans(
+        _wrap(stream)
+    )
+
+
+def test_filter_chain_ascii85_flate():
+    import base64
+
+    body = base64.a85encode(zlib.compress(STREAM), adobe=True)[2:]
+    pdf = _wrap_filtered(body, b"[/ASCII85Decode /FlateDecode]")
+    assert pdf_to_spans(pdf) == pdf_to_spans(_wrap(STREAM))
+
+
+def test_image_xobject_stream_skipped_not_quarantined():
+    """A DCT-compressed image XObject is opaque pixel data: the doc
+    parses (text + the /ImX Do media span), instead of quarantining the
+    whole document — real-world PDFs are mostly DCT-image-heavy."""
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 20
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"3 0 obj << /Type /Page /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(STREAM)).encode() + b" >>\nstream\n"
+        + STREAM + b"endstream\nendobj\n"
+        b"5 0 obj << /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+        b"/Filter /DCTDecode /Length " + str(len(fake_jpeg)).encode()
+        + b" >>\nstream\n" + fake_jpeg + b"endstream\nendobj\n%%EOF\n"
+    )
+    spans = pdf_to_spans(pdf)
+    assert [s["text"] for s in spans] == ["A Title", "body text", None, "page 1"]
+    assert spans[2]["media_ref"] == "media://deadbeef"
+
+
+def test_predictor_quarantines():
+    body = zlib.compress(STREAM)
+    pdf = (
+        b"%PDF-1.4\n4 0 obj << /Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 >> >>\nstream\n"
+        + body + b"endstream\nendobj\n"
+    )
+    with pytest.raises(NotImplementedError):
+        pdf_to_spans(pdf)
