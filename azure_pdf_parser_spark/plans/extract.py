@@ -126,6 +126,10 @@ def run_extract(
         parted = with_skew_partitioning(todo, num_partitions)
     extracted = extract(parted, passthrough=("bucket",))
 
-    extracted.write.mode("append").parquet(output_path)
+    # atomic run commit (manifest.py module docstring): run-scoped output
+    # dir, manifest append, then ONE marker rename publishes both — a
+    # crash at any point leaves no half-visible run
+    extracted.write.mode("error").parquet(f"{output_path}/run_id={run_id}")
     mf.append_manifest(extracted, manifest_path, run_id)
+    mf.commit_run(manifest_path, run_id)
     return run_id

@@ -117,6 +117,7 @@ def test_resume_filter_is_anti_join_not_collect(spark, tmp_path):
     docs = derive_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
     path = str(tmp_path / "manifest")
     mf.append_manifest(extract(docs.limit(10)), path, "r1")
+    mf.commit_run(path, "r1")
     todo = mf.resume_filter(docs, spark, path)
     plan = _plan(todo)
     assert "LeftAnti" in plan, plan
