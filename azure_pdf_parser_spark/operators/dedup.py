@@ -659,3 +659,114 @@ mins AS (
 SELECT DISTINCT doc_id, fingerprint FROM mins
 """
 )
+
+
+# --- near-dup connected components (the dedup apply step) -------------------
+
+
+def neardup_clusters(documents: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the MinHash-LSH
+    candidate graph — every doc labeled with the min doc_id reachable
+    through near-dup edges. The *apply* step of near-dedup: keep one doc
+    per cluster_id (or weight-sample within it).
+
+    Iterative distributed label propagation with POINTER JUMPING: each
+    round a node takes the min of (its label, its neighbors' labels,
+    its label's label). The third term is path compression — a chain of
+    transitive near-dups converges in O(log n) rounds instead of
+    O(chain length), the property that makes the loop viable when a
+    boilerplate family forms a 10⁶-doc chain. Each round is two
+    shuffles on uniform keys; lineage is truncated per round with an
+    eager localCheckpoint (25 stacked joins would otherwise blow plan
+    compilation long before data cost matters).
+
+    Raises RuntimeError if not converged in ``max_iters`` — silently
+    returning half-merged clusters would corrupt the dedup downstream.
+    """
+    return connected_components(
+        documents.select("doc_id"), minhash_lsh_candidates(documents), max_iters
+    )
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Generic distributed connected components: ``nodes(doc_id)``,
+    ``pairs(doc_a, doc_b)`` → (doc_id, cluster_id = min reachable id).
+    See :func:`neardup_clusters` for the algorithm and scale notes."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        jumped = labels.alias("a").join(
+            labels.select(
+                F.col("doc_id").alias("_ptr"), F.col("cluster_id").alias("jump_min")
+            ),
+            F.col("a.cluster_id") == F.col("_ptr"),
+        ).select("a.doc_id", "jump_min")
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            .join(jumped, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                    F.coalesce("jump_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select("doc_id", "cluster_id")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "pathological graph; raise max_iters"
+    )
+
+
+# Oracle: exact transitive closure of the same candidate graph (tiny at
+# gate scale; recursive UNION deduplicates, so it terminates).
+NEARDUP_CLUSTERS_SQL = (
+    _MINHASH_CAND_CTES
+    + """,
+sym_edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM cand
+    UNION
+    SELECT doc_b, doc_a FROM cand
+),
+reach AS (
+    WITH RECURSIVE r(s, d) AS (
+        SELECT s, d FROM sym_edges
+        UNION
+        SELECT r.s, e.d FROM r JOIN sym_edges e ON r.d = e.s
+    )
+    SELECT s, d FROM r
+),
+minreach AS (SELECT s AS doc_id, min(d) AS m FROM reach GROUP BY s)
+SELECT doc.doc_id,
+       CAST(least(coalesce(mr.m, doc.doc_id), doc.doc_id) AS BIGINT) AS cluster_id
+FROM documents doc LEFT JOIN minreach mr ON doc.doc_id = mr.doc_id
+"""
+)

@@ -22,7 +22,8 @@ from azure_pdf_parser_spark.functions.text import (
     quality_sql,
 )
 from azure_pdf_parser_spark.functions import text as text_fns
-from azure_pdf_parser_spark.operators import ann, dedup, extract_spans
+from azure_pdf_parser_spark.functions import scrub as scrub_fns
+from azure_pdf_parser_spark.operators import ann, contamination, dedup, extract_spans
 from azure_pdf_parser_spark.operators import events as events_ops
 from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
 from azure_pdf_parser_spark.sources import htmlize, layoutize, pdfize
@@ -761,6 +762,82 @@ def q_dedup_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup apply step: every doc → canonical min(doc_id) of its
     content-hash cluster (one window shuffle on the uniform md5 key)."""
     return dedup.exact_dup_clusters(_docs(spark, sf_dir))
+
+
+@query("decontaminate", contamination.DECONTAMINATE_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 13-word-shingle overlap of every corpus
+    doc against a deterministic eval set (docs with doc_id % 37 == 0 and
+    their dups must flag); corpus side is shuffle-free up to the per-doc
+    count."""
+    from azure_pdf_parser_spark.operators.contamination import (
+        BENCHMARK_MOD,
+        decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") % BENCHMARK_MOD == 0).select("text")
+    return decontaminate(docs, benchmark)
+
+
+_PII_SEED_SQL = """
+seeded AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+
+@query(
+    "pii_scrub",
+    "WITH " + _PII_SEED_SQL + scrub_fns.scrub_pii_sql("seeded"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: deterministic emails/IPs/SSNs/phones are seeded
+    into a slice of the corpus JVM-side, then scrubbed by the pure-
+    regexp pipeline; the oracle re-derives counts and the scrubbed-text
+    md5 with the IDENTICAL pattern strings (common Java/RE2 subset)."""
+    from azure_pdf_parser_spark.functions.scrub import scrub_pii
+
+    d = F.col("doc_id")
+
+    def seed(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    seeded = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            seed(d % 5 == 0, F.lit(" contact user"),
+                 d.cast("string"), F.lit("@example.com")),
+            seed(d % 7 == 0, F.lit(" from 10.0."),
+                 (d % 256).cast("string"), F.lit(".1")),
+            seed(d % 11 == 0, F.lit(" ssn 123-45-6789")),
+            seed(d % 13 == 0, F.lit(" call +1 (555) 010-"),
+                 F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).alias("text"),
+    )
+    return scrub_pii(seeded)
+
+
+@query("dedup_neardup_clusters", dedup.NEARDUP_CLUSTERS_SQL)
+def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup apply step: connected components over the MinHash-LSH
+    candidate graph (iterative label propagation + pointer jumping),
+    gated against DuckDB's exact recursive transitive closure."""
+    return dedup.neardup_clusters(_docs(spark, sf_dir))
 
 
 @query("dedup_simhash", dedup.SIMHASH_SQL)

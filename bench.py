@@ -38,14 +38,17 @@ SCALING_AMPLIFY = int(os.environ.get("SPARK_GRAFT_SCALING_AMPLIFY", str(AMPLIFY 
 SF = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
 BENCH_QUERIES = [
+    "spanize",
     "extract_spans",
     "parser_output",
     "doc_languages",
+    "reading_order",
     "table_cell_tagging",
     "quality_scores",
     "repetition_stats",
     "vocab_topk",
     "langid",
+    "langid_wide",
     "dedup_exact",
     "dedup_exact_clusters",
     "dedup_minhash_lsh",
@@ -54,14 +57,27 @@ BENCH_QUERIES = [
     "fingerprint_winnow",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_neardup_clusters",
+    "decontaminate",
+    "pii_scrub",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "layout_batch_plan",
     "layout_text_blocks",
+    "layout_table_blocks",
+    "layout_page_metadata",
+    "layout_coord_flip",
+    "layout_quarantine",
     "html_parse",
     "pdf_parse",
+    "pdf_split",
+    "pdf_split_parse",
     "token_stats",
     "media_features",
+    "media_features_gif",
+    "media_features_jpeg",
+    "media_features_wav",
     "events_windowed",
     "events_sessionize",
     "events_session_window",
@@ -70,6 +86,25 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
 ]
+
+# every queries() entry is either in BENCH_QUERIES or here, with the
+# reason it is deliberately unbenched (emitted in the result JSON)
+EXCLUDED_QUERIES = {
+    "ann_cosine_topk": (
+        "O(n^2) exact correctness baseline; refuses large inputs by "
+        "design (EXACT_TOPK_MAX_ROWS) — lsh/ivf tiers are the benched "
+        "scale paths"
+    ),
+    "stream_extract": (
+        "streaming gate: wall-clock is dominated by availableNow "
+        "micro-batch + checkpoint fixed costs, not operator throughput; "
+        "its transformation plan is the benched extract_spans"
+    ),
+    "stream_stateful_sessions": (
+        "streaming gate: same fixed-cost profile; the stateful "
+        "operator's batch analog is the benched events_sessionize"
+    ),
+}
 
 
 def log(msg: str) -> None:
@@ -290,6 +325,7 @@ def main() -> None:
         "docs_per_sec": round(n_amplified / flagship_sec, 1),
         "n_docs_amplified": n_amplified,
         "scaling": scaling,
+        "excluded": EXCLUDED_QUERIES,
     }
     print(json.dumps(result))
 

@@ -88,3 +88,41 @@ def test_minhash_signatures_use_capped_universe(spark):
     )
     assert n_distinct == 2
     assert sig.count() == 30
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 512-node path graph (the transitive near-dup worst case): plain
+    1-hop min propagation needs 511 rounds; pointer jumping must finish
+    in ~log2(512)+slack. max_iters=16 both proves the acceleration and
+    pins it against regression."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.operators.dedup import connected_components
+
+    n = 512
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    got = connected_components(nodes, chain, max_iters=16)
+    assert got.where(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n
+
+
+def test_connected_components_merges_islands_and_keeps_singletons(spark):
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.operators.dedup import connected_components
+
+    nodes = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got[3] == got[5] == got[9] == 3
+    assert got[7] == got[8] == 7
+    for singleton in (0, 1, 2, 4, 6):
+        assert got[singleton] == singleton

@@ -176,3 +176,18 @@ def test_simhash_is_single_shuffle_aggregation(spark):
     nodes = _nodes(_plan(simhash(spark.read.parquet(f"{SF_DIR}/documents.parquet"))))
     # one exchange for the (doc_id, token) groupBy, one for groupBy(doc_id)
     assert nodes.count("Exchange") <= 2, nodes
+
+
+def test_bench_list_is_exhaustive_over_registry():
+    """Every queries() entry is either benched or excluded-with-reason —
+    silent bench gaps read as coverage that isn't there."""
+    import bench
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    benched = set(bench.BENCH_QUERIES)
+    excluded = set(bench.EXCLUDED_QUERIES)
+    assert not (benched & excluded)
+    missing = set(QUERIES) - benched - excluded
+    assert not missing, f"unbenched and undocumented: {sorted(missing)}"
+    stale = (benched | excluded) - set(QUERIES)
+    assert not stale, f"bench names not in registry: {sorted(stale)}"

@@ -127,3 +127,59 @@ def test_repetition_stats_matches_oracle_on_random_docs(spark, rows):
 def test_langid_matches_oracle_on_random_docs(spark, rows):
     sf_dir = _write_sf_dir(rows)
     compare_query(spark, sf_dir, "langid")
+
+
+_pii_fragment = st.sampled_from(
+    [
+        "bob@example.com",
+        "a.b-c_d@mail.co.uk",
+        "@not an email",
+        "10.0.0.1",
+        "999.999.999.999",
+        "1.2.3.4.5.6",
+        "123-45-6789",
+        "12-345-6789",
+        "+1 (555) 010-9999",
+        "call 5551234567 now",
+        "version 1.2.33",
+        "x@y.zz",
+    ]
+)
+
+_pii_text = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(
+            _pii_fragment,
+            st.text(
+                alphabet=st.sampled_from(list("ab 0123456789.@-+()")),
+                min_size=0,
+                max_size=20,
+            ),
+        ),
+        min_size=0,
+        max_size=6,
+    ).map(" ".join),
+)
+
+_pii_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6), _pii_text),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_pii_docs)
+def test_pii_scrub_matches_oracle_on_adversarial_text(spark, rows):
+    """The PII regexes live in the common Java/RE2 subset — hypothesis
+    hammers the boundary cases (adjacent matches, over-long IPs, almost-
+    SSNs, NULL text) where greedy-match or escape dialects could split
+    the two engines."""
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "pii_scrub")
