@@ -83,3 +83,25 @@ def test_json_export_failfast_on_corrupt_line(spark):
             f.write("this is not json\n")
         with pytest.raises(Exception):
             read_json_export(spark, f"{tmp}/bad", PARSER_OUTPUT).collect()
+
+
+def test_raw_ir_sink_replays_identically(spark):
+    """K2: the persisted LAYOUT_BATCH IR must replay through
+    merge->assemble to the byte-identical ParserOutput the live chain
+    produces (reference analog: save_raw_azure_response, run.py:97)."""
+    from azure_pdf_parser_spark.operators.batching import merge_batches
+    from azure_pdf_parser_spark.operators.layout import assemble
+    from azure_pdf_parser_spark.sinks.raw_ir import replay, write_raw_ir
+    from azure_pdf_parser_spark.sources.layoutize import derive_layout_batches
+    from azure_pdf_parser_spark.sources.tables import load_table
+
+    batches = derive_layout_batches(load_table(spark, SF_DIR, "documents"))
+    live = assemble(merge_batches(batches))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        write_raw_ir(batches, f"{tmp}/ir", mode="overwrite")
+        replayed = replay(spark, f"{tmp}/ir")
+        assert replayed.schema.simpleString() == live.schema.simpleString()
+        # full-row equality including nested text_blocks/page_metadata
+        assert replayed.exceptAll(live).count() == 0
+        assert live.exceptAll(replayed).count() == 0

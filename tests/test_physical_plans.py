@@ -191,3 +191,25 @@ def test_bench_list_is_exhaustive_over_registry():
     assert not missing, f"unbenched and undocumented: {sorted(missing)}"
     stale = (benched | excluded) - set(QUERIES)
     assert not stale, f"bench names not in registry: {sorted(stale)}"
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII scrubbing must fuse into the scan: regexp projection only,
+    no Exchange of any kind — at 100 TB this runs as a pass-through."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["pii_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The eval-suite shingle set (bounded by contract) must broadcast
+    into the corpus probe; the corpus side must never sort-merge or
+    cartesian for the overlap."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    nodes = _nodes(_plan(QUERIES["decontaminate"](spark, SF_DIR)))
+    assert "BroadcastHashJoin" in nodes, nodes
+    assert "SortMergeJoin" not in nodes, nodes
+    assert "CartesianProduct" not in nodes and "BroadcastNestedLoopJoin" not in nodes
