@@ -190,26 +190,12 @@ def _prepared_sql(text_sql: str) -> str:
     )
 
 
-def language_expr(text: Column | str) -> Column:
-    """Detected language code (29 languages), or NULL on no signal.
-
-    argmax over per-language scores; ties go to the lexicographically
-    smallest code. Built so each per-language score expression appears
-    EXACTLY ONCE: argmax = array_max over (score, -lang_index) structs
-    (struct comparison is field-order lexicographic, so max score wins
-    and ties go to the smallest index), and the winner struct is
-    consumed through a single-element transform() whose lambda variable
-    is a cheap slot reference.
-
-    The word-profile scores share one combined stopword scan (`hits`)
-    and intersect it per language — both subtrees are lambda-free, so
-    whole-stage codegen CSE evaluates them once per row even though the
-    hits tree appears 24× in the projection (see module header for the
-    measured alternatives).
-    """
-    c = F.col(text) if isinstance(text, str) else text
-    prepared = _prepared_expr(c)
-    hits = F.regexp_extract_all(prepared, F.lit(_combined_word_pattern()), 0)
+def _winner_expr(prepared: Column, hits: Column) -> Column:
+    """argmax winner from (prepared, hits) inputs — see language_expr.
+    When ``prepared``/``hits`` are STAGED ATTRIBUTES (with_language), the
+    expensive regex scans are evaluated once per row no matter where
+    Catalyst inlines this combinator tree — even into an array lambda,
+    where only the cheap attribute-fed intersects would re-run."""
 
     def score(lang: str) -> Column:
         kind, payload = LANG_PROFILES[lang]
@@ -230,22 +216,71 @@ def language_expr(text: Column | str) -> Column:
         )
     )
     langs = F.array(*[F.lit(lang) for lang in LANG_PROFILES])
+    return F.when(
+        ranked.getField("s") > 0,
+        F.element_at(langs, -ranked.getField("r") + 1),
+    )
+
+
+def with_language(df, text: Column, out: str):
+    """Append the detected-language column through STAGED projections.
+
+    Use this (not a bare :func:`language_expr`) whenever the consuming
+    projection contains array lambdas. Lambda-bearing projections are
+    CodegenFallback: interpreted evaluation has no subexpression
+    elimination, and CollapseProject can inline a staged single-column
+    tree into a lambda body, where it re-evaluates PER ARRAY ELEMENT —
+    measured 38 s vs 2 s on the layout chain at sf0.1. Staging
+    ``_lang_prep``/``_lang_hits`` as real columns makes them attribute
+    references: multi-referenced non-cheap columns survive
+    CollapseProject, so the regex scans run exactly once per row; only
+    the cheap attribute-fed argmax combinators can ever be inlined.
+    """
+    pre, hits = f"_{out}_prep", f"_{out}_hits"
+    df = df.withColumn(pre, _prepared_expr(text))
+    df = df.withColumn(
+        hits,
+        F.regexp_extract_all(F.col(pre), F.lit(_combined_word_pattern()), 0),
+    )
+    df = df.withColumn(out, _winner_expr(F.col(pre), F.col(hits)))
+    return df.drop(pre, hits)
+
+
+def language_expr(text: Column | str) -> Column:
+    """Detected language code (29 languages), or NULL on no signal.
+
+    argmax over per-language scores; ties go to the lexicographically
+    smallest code. Built so each per-language score expression appears
+    EXACTLY ONCE: argmax = array_max over (score, -lang_index) structs
+    (struct comparison is field-order lexicographic, so max score wins
+    and ties go to the smallest index), and the winner struct is
+    consumed through a single-element transform() whose lambda variable
+    is a cheap slot reference.
+
+    The word-profile scores share one combined stopword scan (`hits`)
+    and intersect it per language — both subtrees are lambda-free, so
+    whole-stage codegen CSE evaluates them once per row even though the
+    hits tree appears 24× in the projection (see module header for the
+    measured alternatives).
+    """
     # NO lambda anywhere in this tree — higher-order functions are
     # CodegenFallback, and one transform() here drops the WHOLE
     # projection out of whole-stage codegen, so the 24 shared `hits`
     # subtrees stop being CSE'd and get re-scanned per language
     # (measured 15 s vs 3.5 s flagship). `ranked` referenced twice is
-    # fine: under codegen, CSE evaluates the argmax once.
+    # fine: under codegen, CSE evaluates the argmax once. Inside a
+    # lambda-bearing projection CSE is unavailable — use with_language
+    # there instead.
     #
     # Null-safe winner branch: NULL text gives NULL scores, which tie on
     # the index field inside array_max (struct comparison) and would
     # otherwise crown the first language. `s > 0` is false for both NULL
     # and 0 scores, so each yields NULL — matching the SQL form's
     # empty-subquery NULL.
-    return F.when(
-        ranked.getField("s") > 0,
-        F.element_at(langs, -ranked.getField("r") + 1),
-    )
+    c = F.col(text) if isinstance(text, str) else text
+    prepared = _prepared_expr(c)
+    hits = F.regexp_extract_all(prepared, F.lit(_combined_word_pattern()), 0)
+    return _winner_expr(prepared, hits)
 
 
 def language_sql(text_sql: str) -> str:

@@ -232,11 +232,18 @@ def assemble(
     (quarantine, not raise).
     """
     # staged projections (same reasoning as extract_spans.extract): the
-    # blocks / doc-text / detected-language trees are materialized once
-    # each — embedding `detected` directly inside the per-block stamping
-    # lambda would re-evaluate the whole language scan per block, since
-    # expressions inside array lambdas run per element and never CSE.
-    tagged = (
+    # blocks / doc-text trees are materialized once each. The language
+    # detector goes through with_language, NOT a bare language_expr
+    # column: this projection chain carries lambdas (stamping below), so
+    # it is CodegenFallback — interpreted, no CSE — and CollapseProject
+    # can inline a single-column language tree into the stamping lambda
+    # where it re-evaluates per block (29 regex scans × every block:
+    # measured 38 s vs 2 s for the layout gate at sf0.1). with_language
+    # stages the regex scans as multi-referenced attribute columns that
+    # survive collapse, pinning them to once per row.
+    from azure_pdf_parser_spark.functions.text import with_language
+
+    tagged = with_language(
         tag_table_paragraphs(merged)
         .withColumn("_blocks", text_blocks_col(F.col("paragraphs")))
         .withColumn(
@@ -244,13 +251,11 @@ def assemble(
             F.array_join(
                 F.transform(F.col("_blocks"), lambda b: F.trim(b.text)), " "
             ),
-        )
-        .withColumn(
-            "_detected",
-            F.when(
-                F.size("_blocks") > 0, language_expr(F.col("_doc_text"))
-            ),
-        )
+        ),
+        F.col("_doc_text"),
+        "_lang_raw",
+    ).withColumn(
+        "_detected", F.when(F.size("_blocks") > 0, F.col("_lang_raw"))
     )
     blocks = F.col("_blocks")
     detected = F.col("_detected")

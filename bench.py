@@ -162,6 +162,13 @@ def flagship(spark, sf_dir: str, factor: int):
     return extract(derive_spans(docs))
 
 
+# queries whose builder runs driver-side iterative actions (the CC loop's
+# per-round counts/localCheckpoints) — their work happens at DataFrame-BUILD
+# time, so the timed region must include a fresh build or it measures only
+# the final cached write
+EAGER_BUILD = {"dedup_neardup_clusters"}
+
+
 def bench_queries(spark) -> dict[str, float]:
     from azure_pdf_parser_spark.caching import release_all
     from azure_pdf_parser_spark.plans.queries import QUERIES
@@ -174,7 +181,10 @@ def bench_queries(spark) -> dict[str, float]:
             df = QUERIES[name](spark, SF_DIR)
             run_noop(df)  # warm: codegen + scan cache; measure the steady state
             t0 = time.perf_counter()
-            run_noop(df)
+            if name in EAGER_BUILD:
+                run_noop(QUERIES[name](spark, SF_DIR))
+            else:
+                run_noop(df)
             timings[name] = round(time.perf_counter() - t0, 3)
         finally:
             # operators persist internal intermediates (simhash fps, IVF
