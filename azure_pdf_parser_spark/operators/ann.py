@@ -156,23 +156,31 @@ def lsh_cosine_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
 N_CENTROIDS = 8
 
 
-def ivf_assign(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, vec, norm, centroid_id): nearest-centroid assignment.
-
-    IVF coarse quantization with deterministic centroids — the vectors
-    with ``vec_id < N_CENTROIDS`` (at scale: a k-means fit on a sample,
-    persisted; the assignment plan is identical). The centroid table is
-    tiny and broadcast, so assignment is a narrow broadcast-nested-loop:
-    no shuffle of the big side.
-    """
-    from pyspark.sql.window import Window
-
-    base = with_norm(embeddings)
-    cents = base.where(F.col("vec_id") < N_CENTROIDS).select(
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """(centroid_id, cvec, cnorm): the coarse-quantizer codebook —
+    deterministic here (the vectors with ``vec_id < N_CENTROIDS``); at
+    scale a k-means fit on a sample, persisted alongside the index."""
+    return with_norm(embeddings).where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, vec, norm, centroid_id): nearest-centroid assignment.
+
+    The centroid table is tiny and broadcast, so assignment is a narrow
+    broadcast-nested-loop: no shuffle of the big side. Pass ``centroids``
+    to assign NEW vectors against an existing index's codebook
+    (query-time path); default derives the codebook from the input.
+    """
+    from pyspark.sql.window import Window
+
+    base = with_norm(embeddings)
+    cents = centroids if centroids is not None else ivf_centroids(embeddings)
     scored = base.join(F.broadcast(cents)).select(
         "vec_id",
         "vec",
@@ -214,6 +222,64 @@ def ivf_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
         F.round(
             _dot(F.col("a.vec"), F.col("b.vec"))
             / (F.col("a.norm") * F.col("b.norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# --- IVF index lifecycle: persist / load / query -----------------------------
+
+
+def save_ivf_index(embeddings: DataFrame, path: str, mode: str = "error") -> None:
+    """Build and persist the IVF index, PARTITIONED BY centroid_id.
+
+    The directory layout IS the inverted-file structure: a query that
+    probes one centroid reads one partition (planning-time
+    PartitionFilters prune the rest) — the on-disk analog of FAISS's
+    per-list storage, expressed as plain partitioned parquet."""
+    ivf_assign(embeddings).write.partitionBy("centroid_id").mode(mode).parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ivf_query_topk(
+    index: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Top-k indexed neighbors for NEW query vectors (nprobe=1).
+
+    Queries are assigned with the INDEX's codebook (broadcast), then
+    equi-join their centroid's list — the scan touches only the probed
+    partitions. Self-matches (same vec_id) are excluded so querying the
+    index with its own vectors reproduces :func:`ivf_topk`.
+    """
+    from pyspark.sql.window import Window
+
+    cents = index.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    assigned_q = ivf_assign(queries, centroids=F.broadcast(cents))
+    pairs = assigned_q.alias("q").join(
+        index.alias("i"),
+        (F.col("q.centroid_id") == F.col("i.centroid_id"))
+        & (F.col("q.vec_id") != F.col("i.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("i.vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("q.vec"), F.col("i.vec"))
+            / (F.col("q.norm") * F.col("i.norm")),
             6,
         ).alias("cosine"),
     )

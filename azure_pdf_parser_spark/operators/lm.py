@@ -1,0 +1,120 @@
+"""Unigram language-model surprisal — the corpus-statistics quality
+signal (the cheap cousin of KenLM perplexity filtering used by CCNet /
+Gopher / FineWeb pipelines: documents whose tokens are improbable under
+the corpus distribution are junk candidates).
+
+Two passes, both scale-shaped:
+
+1. **Vocabulary build**: tokenize → groupBy(token) count (map-side
+   partials collapse the Zipf head before the shuffle) → keep the TOP
+   ``vocab_size`` tokens by (count DESC, token ASC). The cap is what
+   makes the model table BROADCASTABLE: corpus vocabulary grows with
+   corpus size (Heaps' law — an unbounded vocab is a corpus-derived
+   dim, the classic driver-OOM hazard), but the capped model is a fixed
+   2^20-row table. Out-of-vocab tokens get the floor probability
+   1/total — equivalently, the cap is the smoothing.
+2. **Scoring**: doc tokens left-join the broadcast model; per-doc
+   surprisal = avg(-log2 p(token)). The corpus side never shuffles for
+   the probe; the per-doc avg is one aggregation on the uniform doc_id
+   key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VOCAB_SIZE = 1 << 20
+
+# ASCII letter runs over lowercased text: `lower` is Unicode-aware in
+# both Spark and DuckDB, and the ASCII class sidesteps the Java-vs-RE2
+# word-boundary divergence entirely.
+_TOKEN_PATTERN = "[a-z]+"
+
+
+def _doc_tokens(documents: DataFrame) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0)
+    return documents.select(
+        "doc_id", F.explode_outer(toks).alias("token")
+    ).where(F.col("token").isNotNull())
+
+
+def lm_vocab(documents: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """(token, n, total): top-``vocab_size`` tokens with the corpus-wide
+    token total (total counts ALL tokens, in and out of vocab, so the
+    in-vocab probabilities and the OOV floor share one denominator)."""
+    from pyspark.sql.window import Window
+
+    counts = _doc_tokens(documents).groupBy("token").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("n").desc(), F.col("token").asc())
+    )
+    return (
+        counts.withColumn("total", total)
+        .withColumn("_r", rank)
+        .where(F.col("_r") <= vocab_size)
+        .drop("_r")
+    )
+
+
+def lm_surprisal(
+    documents: DataFrame, vocab_size: int = VOCAB_SIZE
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_surprisal): mean -log2 p(token) per doc.
+
+    The model (vocab) is persisted — it feeds both the 1-row total and
+    the probe join, and without the persist each reference would re-scan
+    the corpus (caller releases via caching.release_all, same contract
+    as the other operators). The single-partition windows in the vocab
+    build are fine: they run over the already-aggregated token counts
+    (Zipf-bounded), never the corpus.
+    """
+    from azure_pdf_parser_spark.caching import tracked_persist
+
+    vocab = tracked_persist(lm_vocab(documents, vocab_size))
+    totals = vocab.agg(F.max("total").alias("total"))
+    scored = (
+        _doc_tokens(documents)
+        .join(F.broadcast(vocab.select("token", "n")), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    F.coalesce(F.col("n"), F.lit(1)).cast("double")
+                    / F.col("total")
+                )
+            ).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+    )
+
+
+LM_SURPRISAL_SQL = f"""
+WITH toks AS (
+    SELECT d.doc_id, t.token
+    FROM documents d
+    CROSS JOIN LATERAL (
+        SELECT UNNEST(regexp_extract_all(lower(d.text), '{_TOKEN_PATTERN}')) AS token
+    ) t
+),
+counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+tot AS (SELECT sum(n) AS total FROM counts),
+vocab AS (
+    SELECT token, n FROM counts
+    QUALIFY row_number() OVER (ORDER BY n DESC, token ASC) <= {VOCAB_SIZE}
+)
+SELECT toks.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-log2(CAST(coalesce(vocab.n, 1) AS DOUBLE) / tot.total)), 6)
+           AS avg_surprisal
+FROM toks LEFT JOIN vocab ON toks.token = vocab.token
+CROSS JOIN tot
+GROUP BY toks.doc_id
+"""

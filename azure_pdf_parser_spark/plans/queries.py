@@ -24,6 +24,7 @@ from azure_pdf_parser_spark.functions.text import (
 from azure_pdf_parser_spark.functions import text as text_fns
 from azure_pdf_parser_spark.functions import scrub as scrub_fns
 from azure_pdf_parser_spark.operators import ann, contamination, dedup, extract_spans
+from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import events as events_ops
 from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
 from azure_pdf_parser_spark.sources import htmlize, layoutize, pdfize
@@ -832,6 +833,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(seeded)
 
 
+@query("lm_surprisal", lm_ops.LM_SURPRISAL_SQL)
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality signal: capped-vocab corpus model
+    (broadcastable by construction), per-doc avg -log2 p(token); the
+    CCNet/Gopher perplexity-filter analog with an exact SQL oracle."""
+    return lm_ops.lm_surprisal(_docs(spark, sf_dir))
+
+
 @query("dedup_neardup_clusters", dedup.NEARDUP_CLUSTERS_SQL)
 def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup apply step: connected components over the MinHash-LSH
@@ -900,6 +909,45 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s.text",
                 "s.media_ref",
             ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_dedup_exact",
+    "SELECT DISTINCT coalesce(md5(text), '<null>') AS content_md5, text FROM documents",
+)
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the gate: availableNow stream with
+    watermark-bounded dropDuplicatesWithinWatermark state; output rows
+    (content_md5, text) are winner-independent — exact dups carry
+    identical text — so the drained result must equal the batch DISTINCT
+    regardless of micro-batch arrival order. The far-behind watermark
+    keeps expiry out of the gate window (expiry semantics are pinned by
+    tests/test_stream_dedup.py)."""
+    import shutil
+    import tempfile
+
+    from azure_pdf_parser_spark.streaming.stream_dedup import start_stream_dedup
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_gate_")
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"), f"{in_dir}/part-000.parquet"
+        )
+        q = start_stream_dedup(
+            spark, in_dir, out_dir, ckpt, watermark_delay="3650 days"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_dedup_exact gate: availableNow stream did not drain in 300s"
+            )
+        return _detach(
+            spark, spark.read.parquet(out_dir).select("content_md5", "text")
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_neardup_clusters",
     "decontaminate",
     "pii_scrub",
+    "lm_surprisal",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
@@ -103,6 +104,10 @@ EXCLUDED_QUERIES = {
     "stream_stateful_sessions": (
         "streaming gate: same fixed-cost profile; the stateful "
         "operator's batch analog is the benched events_sessionize"
+    ),
+    "stream_dedup_exact": (
+        "streaming gate: same fixed-cost profile; the batch analog is "
+        "the benched dedup_exact"
     ),
 }
 
