@@ -25,6 +25,7 @@ from azure_pdf_parser_spark.functions import text as text_fns
 from azure_pdf_parser_spark.functions import scrub as scrub_fns
 from azure_pdf_parser_spark.operators import ann, contamination, dedup, extract_spans
 from azure_pdf_parser_spark.operators import lm as lm_ops
+from azure_pdf_parser_spark.operators import sampling
 from azure_pdf_parser_spark.operators import events as events_ops
 from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
 from azure_pdf_parser_spark.sources import htmlize, layoutize, pdfize
@@ -831,6 +832,27 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return scrub_pii(seeded)
+
+
+@query("sample_splits", sampling.assign_splits_sql())
+def q_sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-prefix bucket:
+    reproducible across engines and runs, stable under corpus growth
+    (new docs never move existing ones between splits); map-only."""
+    return sampling.assign_splits(_docs(spark, sf_dir))
+
+
+@query(
+    "sample_stratified",
+    sampling.stratified_sample_sql("lang", 0.1)
+    .replace("SELECT *", "SELECT doc_id, lang"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-per-language stratified sample, chosen by hash rank —
+    deterministic, minimal churn under growth; one stratum-key window."""
+    return sampling.stratified_exact_sample(
+        _docs(spark, sf_dir), "lang", 0.1
+    ).select("doc_id", "lang")
 
 
 @query("lm_surprisal", lm_ops.LM_SURPRISAL_SQL)

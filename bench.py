@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_scrub",
     "lm_surprisal",
+    "sample_splits",
+    "sample_stratified",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",

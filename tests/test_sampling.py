@@ -1,0 +1,67 @@
+"""Deterministic sampling/splits: the growth-stability contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_split_assignment_stable_under_corpus_growth(spark):
+    """Adding documents must not move existing ones between splits —
+    the eval-contamination accident a row_number-based split commits."""
+    from azure_pdf_parser_spark.operators.sampling import assign_splits
+
+    small = spark.range(500).select(F.col("id").alias("doc_id"))
+    big = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in assign_splits(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in assign_splits(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # all three splits are populated at the default fractions
+    assert {"train", "val", "test"} == set(b.values())
+
+
+def test_split_fractions_approximate_and_nested(spark):
+    from azure_pdf_parser_spark.operators.sampling import assign_splits
+
+    docs = spark.range(20000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r["split"]: r["count"]
+        for r in assign_splits(docs, 0.1, 0.1).groupBy("split").count().collect()
+    }
+    assert abs(counts["test"] / 20000 - 0.1) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.02
+    # growing test_fraction only promotes val/train docs into test: the
+    # test set at 5% is a subset of the test set at 10%
+    t5 = {r["doc_id"] for r in assign_splits(docs, 0.1, 0.05)
+          .where("split = 'test'").collect()}
+    t10 = {r["doc_id"] for r in assign_splits(docs, 0.1, 0.10)
+           .where("split = 'test'").collect()}
+    assert t5 <= t10
+
+
+def test_stratified_exact_sample_counts(spark):
+    from azure_pdf_parser_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 7).cast("string")).alias("lang"),
+    )
+    got = stratified_exact_sample(docs, "lang", 0.1)
+    per = {r["lang"]: r["count"] for r in got.groupBy("lang").count().collect()}
+    want = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    import math
+
+    assert per == {k: math.ceil(v * 0.1) for k, v in want.items()}
+
+
+def test_hash_sample_is_map_only(spark):
+    from azure_pdf_parser_spark.operators.sampling import hash_sample
+
+    df = hash_sample(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0.25
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
