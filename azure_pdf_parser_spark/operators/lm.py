@@ -118,3 +118,82 @@ FROM toks LEFT JOIN vocab ON toks.token = vocab.token
 CROSS JOIN tot
 GROUP BY toks.doc_id
 """
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """(doc_id, term, rank, tfidf): each doc's k most characteristic
+    terms — tf · ln((N+1)/(df+1)), ranked (tfidf DESC, term ASC).
+
+    The keyword-extraction / retrieval-feature primitive. Scale shape:
+    tf = one groupBy on (doc_id, token); df = one groupBy on token over
+    the tf table (already one row per doc-token — never re-reads the
+    corpus); the tf⋈df equi-join keys on token. df is corpus-derived
+    and unbounded (Heaps' law), so NO broadcast hint — unlike the
+    capped LM vocab, tf-idf needs every token's df (rare tokens carry
+    the signal), and AQE picks the strategy. Top-k is a rank window on
+    doc_id: WindowGroupLimit pushes the k-filter below the sort.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = documents.select(
+        F.count("*").cast("double").alias("_n_docs")
+    )
+    tf = (
+        _doc_tokens(documents)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("_tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            F.round(
+                F.col("_tf")
+                * F.log((F.col("_n_docs") + 1) / (F.col("_df") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+    SELECT d.doc_id, t.token
+    FROM documents d
+    CROSS JOIN LATERAL (
+        SELECT UNNEST(regexp_extract_all(lower(d.text), '{_TOKEN_PATTERN}')) AS token
+    ) t
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT doc_id,
+       token AS term,
+       CAST(rank AS INT) AS rank,
+       tfidf
+FROM (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * ln((n.n_docs + 1) / (df.df + 1)), 6) AS tfidf,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln((n.n_docs + 1) / (df.df + 1)), 6) DESC,
+                        tf.token ASC
+           ) AS rank
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+WHERE rank <= {TFIDF_TOP_K}
+"""

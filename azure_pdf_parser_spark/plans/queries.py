@@ -834,6 +834,15 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(seeded)
 
 
+@query("tfidf_top_terms", lm_ops.TFIDF_TOP_TERMS_SQL)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf-idf terms (keyword extraction / retrieval
+    features): tf and df each one groupBy, token equi-join left to AQE
+    (df is corpus-derived and unbounded - no broadcast hint), rank
+    window with WindowGroupLimit pushdown."""
+    return lm_ops.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 @query("sample_splits", sampling.assign_splits_sql())
 def q_sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5-prefix bucket:

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_scrub",
     "lm_surprisal",
+    "tfidf_top_terms",
     "sample_splits",
     "sample_stratified",
     "ann_lsh_cosine_topk",

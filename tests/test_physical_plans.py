@@ -213,3 +213,35 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in nodes, nodes
     assert "SortMergeJoin" not in nodes, nodes
     assert "CartesianProduct" not in nodes and "BroadcastNestedLoopJoin" not in nodes
+
+
+def test_sample_splits_is_map_only(spark):
+    """Split assignment must fuse into the scan — no Exchange."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["sample_splits"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_sample_is_single_shuffle(spark):
+    """Exact stratified sampling: ONE exchange on the stratum key feeding
+    both windows (rank + count share the sort)."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    nodes = _nodes(_plan(QUERIES["sample_stratified"](spark, SF_DIR)))
+    assert nodes.count("Exchange") == 1, nodes
+
+
+def test_lm_surprisal_broadcasts_model(spark):
+    """The capped-vocab LM probe must broadcast the model into the corpus
+    token stream — never sort-merge (the corpus side must not shuffle
+    before the per-doc aggregation)."""
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    try:
+        plan = _plan(QUERIES["lm_surprisal"](spark, SF_DIR))
+    finally:
+        release_all()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
