@@ -170,11 +170,20 @@ def flagship(spark, sf_dir: str, factor: int):
     return extract(derive_spans(docs))
 
 
-# queries whose builder runs driver-side iterative actions (the CC loop's
-# per-round counts/localCheckpoints) — their work happens at DataFrame-BUILD
-# time, so the timed region must include a fresh build or it measures only
-# the final cached write
-EAGER_BUILD = {"dedup_neardup_clusters"}
+# queries that must REBUILD inside the timed region: either the builder
+# runs driver-side iterative actions (the CC loop's per-round counts /
+# localCheckpoints) or the operator persists an internal table — reusing
+# the warmed DataFrame would read the warm run's cache and report the
+# cache-hit time instead of a fresh run's build-once-then-reuse cost
+EAGER_BUILD = {
+    "dedup_neardup_clusters",   # iterative driver loop
+    "dedup_ngram_jaccard",      # persists the capped shingle table
+    "dedup_minhash_lsh",        # persists the band table
+    "minhash_jaccard_estimate", # persists the signature table
+    "dedup_simhash_pairs",      # persists sims + distinct fingerprints
+    "ann_ivf_topk",             # persists the IVF assignment
+    "lm_surprisal",             # persists the vocab model
+}
 
 
 def bench_queries(spark) -> dict[str, float]:
