@@ -193,7 +193,15 @@ def decode_stream(d: bytes, body: bytes) -> bytes:
     pm = re.search(rb"/Predictor\s+(\d+)", d)
     if pm and int(pm.group(1)) > 1:
         raise NotImplementedError("PDF stream predictors unsupported")
+    # /EarlyChange lives in DecodeParms next to /Predictor; ignoring it
+    # would silently mis-decode LZW at every code-width boundary, so it
+    # is parsed and threaded through (the decoder implements both).
+    em = re.search(rb"/EarlyChange\s+(\d+)", d)
+    early_change = int(em.group(1)) if em else 1
     for name in names:
+        if name in (b"LZWDecode", b"LZW"):
+            body = _decode_lzw(body, early_change=early_change)
+            continue
         decoder = _FILTER_DECODERS.get(name)
         if decoder is None:
             raise NotImplementedError(
@@ -261,6 +269,14 @@ def _scan_objects(pdf: bytes) -> dict[int, bytes]:
         end_marker = pdf.find(b"endobj", start)
         if sm is not None and (end_marker == -1 or sm.start() < end_marker):
             head = pdf[start : sm.start()]
+            # an indirect length ('/Length 7 0 R') would otherwise match
+            # the inline pattern as length 7 and silently corrupt the
+            # scan — detect it FIRST and quarantine (documented dialect
+            # boundary, same contract as nested /Kids)
+            if re.search(rb"/Length\s+\d+\s+\d+\s+R", head):
+                raise NotImplementedError(
+                    "PDF stream with indirect /Length reference unsupported"
+                )
             lm = re.search(rb"/Length\s+(\d+)", head)
             if lm is None:
                 raise NotImplementedError(

@@ -31,9 +31,17 @@ _BUCKETS = 16**4  # 4 hex chars
 
 
 def _hex_threshold(fraction: float) -> str:
-    """4-char lowercase hex literal h such that P(bucket < h) ≈ fraction."""
+    """Lowercase literal h such that P(bucket < h) ≈ fraction.
+
+    fraction ≥ 1.0 returns 'g' — it sorts above every hex string, so
+    the strict '<' selects ALL buckets including 'ffff' (clamping to
+    'ffff' would silently drop ~1/65536 of docs from a full-fraction
+    sample, and route them to 'train' when val+test fractions sum to 1).
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"
     return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), "04x")
 
 

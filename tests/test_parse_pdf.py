@@ -98,9 +98,9 @@ def _wrap_filtered(body: bytes, filt: bytes) -> bytes:
     )
 
 
-def _lzw_encode(data: bytes) -> bytes:
-    """Reference PDF LZW encoder (MSB-first, 9→12 bits, EarlyChange=1)
-    for round-trip testing the decoder."""
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Reference PDF LZW encoder (MSB-first, 9→12 bits) for round-trip
+    testing the decoder — EarlyChange selectable (1 = the PDF default)."""
     table = {bytes([i]): i for i in range(256)}
     next_code, width = 258, 9
     out_bits: list[tuple[int, int]] = [(256, 9)]  # leading clear code
@@ -115,7 +115,7 @@ def _lzw_encode(data: bytes) -> bytes:
         next_code += 1
         # encoder widens when the NEXT code to emit could be next_code
         # (EarlyChange=1: one early, mirroring the decoder's bump)
-        if next_code + 1 > (1 << width) and width < 12:
+        if next_code + early_change > (1 << width) and width < 12:
             width += 1
         w = bytes([b])
     if w:
@@ -181,6 +181,41 @@ def test_lzw_decode_roundtrip():
     assert pdf_to_spans(_wrap_filtered(body, b"/LZWDecode")) == pdf_to_spans(
         _wrap(stream)
     )
+
+
+def test_lzw_early_change_zero():
+    """/DecodeParms << /EarlyChange 0 >> must reach the LZW decoder: a
+    stream long enough to cross a code-width boundary decodes to garbage
+    if the default EarlyChange=1 bump is applied."""
+    stream = STREAM * 30
+    body = _lzw_encode(stream, early_change=0)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"3 0 obj << /Type /Page /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(body)).encode()
+        + b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> >>\nstream\n"
+        + body + b"endstream\nendobj\n%%EOF\n"
+    )
+    assert pdf_to_spans(pdf) == pdf_to_spans(_wrap(stream))
+
+
+def test_indirect_length_quarantines():
+    """An indirect /Length ('7 0 R') must raise, not parse as inline
+    length 7 and silently truncate the stream scan."""
+    from azure_pdf_parser_spark.functions.pdf import pdf_page_count
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length 7 0 R >>\nstream\n" + STREAM
+        + b"endstream\nendobj\n"
+        b"7 0 obj " + str(len(STREAM)).encode() + b" endobj\n%%EOF\n"
+    )
+    with pytest.raises(NotImplementedError, match="indirect /Length"):
+        pdf_page_count(pdf)
 
 
 def test_run_length_decode():

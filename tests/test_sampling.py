@@ -65,3 +65,29 @@ def test_hash_sample_is_map_only(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_full_fraction_sampling_exact(spark):
+    """fraction=1.0 must select EVERY doc (including bucket 'ffff'), and
+    val+test fractions summing to 1.0 must leave 'train' empty — the
+    clamped-'ffff' threshold silently violated both."""
+    from azure_pdf_parser_spark.operators.sampling import (
+        assign_splits,
+        hash_sample,
+    )
+
+    # 70k ids make bucket 'ffff' occupied with overwhelming probability;
+    # assert it explicitly so the test can't pass vacuously
+    docs = spark.range(70000).select(F.col("id").alias("doc_id"))
+    top_bucket = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) == "ffff"
+    ).count()
+    assert top_bucket > 0
+    assert hash_sample(docs, 1.0).count() == 70000
+    splits = {
+        r["split"]: r["count"]
+        for r in assign_splits(docs, val_fraction=0.5, test_fraction=0.5)
+        .groupBy("split").count().collect()
+    }
+    assert "train" not in splits
+    assert splits["test"] + splits["val"] == 70000
