@@ -376,54 +376,75 @@ def simhash(documents: DataFrame) -> DataFrame:
 
     Token-frequency-weighted simhash over the 128 bits of each token's
     md5: bit b of the fingerprint is 1 iff the weighted sum of
-    (±token_count) over tokens is positive. Pure built-ins — the nibble
-    decode is instr() on the hex alphabet.
+    (±token_count) over tokens is positive — equivalently (the form
+    computed here) iff 2·Σcnt[bit set] > Σcnt, which needs only
+    NON-NEGATIVE partial sums and so packs two counters per 64-bit
+    aggregate without sign handling.
+
+    Plan shape: one row per (doc, token) with md5 staged ONCE as a real
+    column (an earlier formulation put md5 inside an array-lambda body,
+    where it re-ran per element — 32 interpreted md5 calls per row),
+    the 8 16-bit words decoded with conv() (integer codegen), and ONE
+    groupBy(doc_id) carrying 65 packed aggregates (64 dual counters +
+    the token total) instead of 128 when/floor/mod sums — map-side
+    partials, half the aggregation buffer, all whole-stage codegen.
+    Packing bound: each 32-bit half holds Σcnt over one doc — safe to
+    4·10⁹ tokens/doc (a ~20 GB document), far past any real row.
     """
-    tokens = (
-        documents.select(
-            "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
-        ).where(F.col("token").isNotNull())
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("cnt"))
-    )
-    # one row per (doc, token) with the 32 md5 nibbles materialized once;
-    # then ONE groupBy(doc_id) carrying 128 weighted bit-sums as aggregate
-    # expressions (map-side partials). An earlier formulation exploded
-    # (doc, token) × 32 positions × 4 bits into ~80M rows through three
-    # shuffles and ran 10× slower.
-    nibs = tokens.select(
+    # per token INSTANCE (cnt = 1): summing ±1 over instances equals
+    # summing ±cnt over distinct (doc, token) — which removes the
+    # (doc_id, token) pre-aggregation SHUFFLE entirely; the one remaining
+    # groupBy(doc_id) collapses map-side to one row per doc per partition
+    tokens = documents.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+    ).where(F.col("token").isNotNull())
+    words = tokens.select(
+        "doc_id", F.lit(1).cast("long").alias("cnt"), F.md5("token").alias("h")
+    ).select(
         "doc_id",
         "cnt",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(32)),
-            lambda p: F.instr(
-                F.lit("0123456789abcdef"), F.substring(F.md5("token"), p, 1)
-            )
-            - 1,
-        ).alias("nibs"),
+        *[
+            F.conv(F.substring("h", b * 4 + 1, 4), 16, 10)
+            .cast("long")
+            .alias(f"w{b}")
+            for b in range(SIMHASH_BANDS)
+        ],
     )
-    bit_sums = [
+
+    def bitval(c: int):
+        # counter c = 4*pos + bit; hex-string position pos sits in word
+        # pos//4 at nibble slot pos%4 (MSB-first), so fingerprint bit
+        # (pos, bit) is word bit 4*(3 - pos%4) + bit
+        pos, bit = divmod(c, 4)
+        b, k = divmod(pos, 4)
+        return F.shiftright(F.col(f"w{b}"), 4 * (3 - k) + bit).bitwiseAND(
+            F.lit(1)
+        )
+
+    packed = [
         F.sum(
-            F.when(
-                (
-                    F.floor(
-                        F.element_at(F.col("nibs"), pos + 1) / F.lit(2**bit)
-                    ).cast("int")
-                    % 2
-                )
-                == 1,
-                F.col("cnt"),
-            ).otherwise(-F.col("cnt"))
-        ).alias(f"s_{pos:02d}_{bit}")
-        for pos in range(32)
-        for bit in range(4)
+            F.col("cnt") * (bitval(2 * j) + bitval(2 * j + 1) * F.lit(1 << 32))
+        ).alias(f"p{j}")
+        for j in range(64)
     ]
-    sums = nibs.groupBy("doc_id").agg(*bit_sums)
+    sums = words.groupBy("doc_id").agg(
+        *packed, F.sum("cnt").alias("_tot")
+    )
+
+    def s1(c: int):
+        j, hi = divmod(c, 2)
+        col = F.col(f"p{j}")
+        return (
+            F.shiftright(col, 32)
+            if hi
+            else col.bitwiseAND(F.lit((1 << 32) - 1))
+        )
+
     nib_chars = [
         F.substring(
-            F.lit("0123456789abcdef"),
+            F.lit(_HEX),
             sum(
-                F.when(F.col(f"s_{pos:02d}_{bit}") > 0, 2**bit).otherwise(0)
+                F.when(2 * s1(4 * pos + bit) > F.col("_tot"), 2**bit).otherwise(0)
                 for bit in range(4)
             ).cast("int")
             + 1,
