@@ -39,24 +39,38 @@ def _doc_tokens(documents: DataFrame) -> DataFrame:
     ).where(F.col("token").isNotNull())
 
 
-def lm_vocab(documents: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+def lm_vocab(
+    documents: DataFrame, vocab_size: int = VOCAB_SIZE, min_count: int = 1
+) -> DataFrame:
     """(token, n, total): top-``vocab_size`` tokens with the corpus-wide
     token total (total counts ALL tokens, in and out of vocab, so the
-    in-vocab probabilities and the OOV floor share one denominator)."""
-    from pyspark.sql.window import Window
+    in-vocab probabilities and the OOV floor share one denominator).
 
-    counts = _doc_tokens(documents).groupBy("token").agg(
-        F.count("*").alias("n")
+    Scale shape: the top-V selection is ``orderBy().limit()`` —
+    TakeOrderedAndProject, a per-partition top-V merge — NEVER a rank
+    window with an empty partitionBy (a single reducer sorting the full
+    distinct-token table; on a 100 TB crawl distinct tokens are O(10⁹)
+    by Heaps' law, so that one partition is the job). The merge fan-in
+    is n_partitions × V rows of (token, count); at production scale
+    callers additionally pass ``min_count ≥ 2``, which drops the
+    hapax-legomena tail (typically >40% of DISTINCT tokens) before the
+    selection — a pure map-side filter over the aggregated counts that
+    cannot evict a real top-V member while V ≪ corpus/2. The corpus
+    total is a separate 1-row aggregate over the same persisted counts,
+    not a global window.
+    """
+    from azure_pdf_parser_spark.caching import tracked_persist
+
+    counts = tracked_persist(
+        _doc_tokens(documents).groupBy("token").agg(F.count("*").alias("n"))
     )
-    total = F.sum("n").over(Window.partitionBy())
-    rank = F.row_number().over(
-        Window.partitionBy().orderBy(F.col("n").desc(), F.col("token").asc())
-    )
+    totals = counts.agg(F.sum("n").alias("total"))
     return (
-        counts.withColumn("total", total)
-        .withColumn("_r", rank)
-        .where(F.col("_r") <= vocab_size)
-        .drop("_r")
+        counts.where(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(totals))
+        .select("token", "n", "total")
     )
 
 
@@ -68,9 +82,7 @@ def lm_surprisal(
     The model (vocab) is persisted — it feeds both the 1-row total and
     the probe join, and without the persist each reference would re-scan
     the corpus (caller releases via caching.release_all, same contract
-    as the other operators). The single-partition windows in the vocab
-    build are fine: they run over the already-aggregated token counts
-    (Zipf-bounded), never the corpus.
+    as the other operators).
     """
     from azure_pdf_parser_spark.caching import tracked_persist
 
@@ -107,8 +119,7 @@ WITH toks AS (
 counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
 tot AS (SELECT sum(n) AS total FROM counts),
 vocab AS (
-    SELECT token, n FROM counts
-    QUALIFY row_number() OVER (ORDER BY n DESC, token ASC) <= {VOCAB_SIZE}
+    SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT {VOCAB_SIZE}
 )
 SELECT toks.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,

@@ -232,6 +232,24 @@ def test_stratified_sample_is_single_shuffle(spark):
     assert nodes.count("Exchange") == 1, nodes
 
 
+def test_lm_vocab_topk_is_take_ordered_not_window(spark):
+    """The vocab top-V selection must be TakeOrderedAndProject (a
+    per-partition top-V merge), never a rank window with an empty
+    partitionBy — that window funnels the FULL distinct-token table
+    (O(10^9) rows at 100 TB by Heaps' law) through one reducer."""
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.operators.lm import lm_vocab
+
+    try:
+        plan = _plan(lm_vocab(spark.read.parquet(f"{SF_DIR}/documents.parquet")))
+    finally:
+        release_all()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # the corpus total must be a 1-row aggregate, not a global window sum
+    assert "Sort" not in [n for n in _nodes(plan)], _nodes(plan)
+
+
 def test_lm_surprisal_broadcasts_model(spark):
     """The capped-vocab LM probe must broadcast the model into the corpus
     token stream — never sort-merge (the corpus side must not shuffle
