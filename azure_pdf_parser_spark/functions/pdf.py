@@ -232,6 +232,94 @@ def content_streams(pdf: bytes) -> list[bytes]:
 
 
 # ---------------------------------------------------------------------------
+# Embedded-image bridge: image XObject streams → media payloads.
+#
+# Image codecs (DCT/JPX/...) are the decode boundary — but EXTRACTING
+# the compressed payload needs no codec at all: a /DCTDecode stream's
+# body IS a JPEG file, so applying only the transport filters
+# (ASCIIHex/ASCII85/Flate/LZW/RunLength) and stopping at the image
+# codec yields bytes the multimodal header extractor
+# (operators/multimodal.py) parses directly. This is how the figure
+# spans emitted by the content-stream parser (`/ImX Do` → media_ref)
+# get their actual bytes. Reference analog: figures in the golden
+# fixtures' bounding regions (tests/data/sample-*.json) — the reference
+# never extracts payloads (Azure holds them), so this closes a gap the
+# reference cannot.
+# ---------------------------------------------------------------------------
+
+_IMAGE_CODECS = frozenset(
+    (b"DCTDecode", b"DCT", b"JPXDecode", b"CCITTFaxDecode", b"CCF",
+     b"JBIG2Decode")
+)
+_IMAGE_NAME_RE = re.compile(rb"/Name\s*/(Im[^\s/\[\]()<>]*)")
+
+
+def decode_image_transport(d: bytes, body: bytes) -> bytes:
+    """Apply the transport prefix of an image stream's /Filter chain and
+    return the codec payload (e.g. the raw JPEG file for /DCTDecode).
+    An image codec anywhere but last in the chain is malformed →
+    NotImplementedError (quarantine)."""
+    m = _FILTER_LIST_RE.search(d)
+    if not m:
+        return body
+    names = (
+        [n.group(1) for n in _NAME_RE.finditer(m.group(1))]
+        if m.group(1) is not None
+        else [m.group(2)]
+    )
+    em = re.search(rb"/EarlyChange\s+(\d+)", d)
+    early_change = int(em.group(1)) if em else 1
+    for idx, name in enumerate(names):
+        if name in _IMAGE_CODECS:
+            if idx != len(names) - 1:
+                raise NotImplementedError(
+                    f"image codec /{name.decode('ascii')} not last in "
+                    "/Filter chain"
+                )
+            return body
+        if name in (b"LZWDecode", b"LZW"):
+            body = _decode_lzw(body, early_change=early_change)
+            continue
+        decoder = _FILTER_DECODERS.get(name)
+        if decoder is None:
+            raise NotImplementedError(
+                f"unsupported PDF stream filter /{name.decode('ascii')}"
+            )
+        body = decoder(body)
+    return body
+
+
+def pdf_media_payloads(pdf: bytes) -> list[dict]:
+    """[{media_ref, media_type, content}] — one per named image XObject.
+
+    media_ref mirrors the content-stream parser's `/ImX Do` convention
+    ('media://' + name minus the 'Im' prefix), so payload rows join the
+    figure spans emitted by :func:`pdf_to_spans` on media_ref. Unnamed
+    images (no /Name — legal in PDF, the name then lives only in the
+    page's /Resources dict) are skipped: resolving /Resources is beyond
+    the documented dialect boundary.
+    """
+    if not pdf.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    out: list[dict] = []
+    for m in STREAM_RE.finditer(pdf):
+        d, body = m.group(1), m.group(2)
+        if not re.search(rb"/Subtype\s*/Image\b", d):
+            continue
+        nm = _IMAGE_NAME_RE.search(d)
+        if nm is None:
+            continue
+        out.append(
+            {
+                "media_ref": "media://" + nm.group(1).decode("latin-1")[2:],
+                "media_type": "image",
+                "content": decode_image_transport(d, body),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # O1 on raw bytes: page-batch split (reference utils.py:117-163).
 #
 # The reference re-serializes a PDF into ≤batch_size-page standalone

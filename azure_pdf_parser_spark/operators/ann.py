@@ -416,6 +416,61 @@ ranked AS (
 SELECT vec_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
 """
 
+# Oracle for the index LIFECYCLE gate: the index is built from the
+# embeddings table (assignment with the vec_id<c codebook), query
+# vectors are the same embeddings with vec_id shifted by {off} (so no
+# self-matches by construction), assigned with the INDEX's codebook,
+# and top-k runs within the probed centroid's list — byte-for-byte the
+# semantics of save_ivf_index → load_ivf_index → ivf_query_topk.
+QUERY_ID_OFFSET = 100_000
+
+IVF_LIFECYCLE_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS centroid_id, vec AS cvec, norm AS cnorm FROM base WHERE vec_id < {c}
+),
+scored_i AS (
+    SELECT b.vec_id, b.vec, b.norm, c.centroid_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                                             i -> b.vec[i] * c.cvec[i]), 'sum')
+                                       / (b.norm * c.cnorm), 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+),
+index_t AS (SELECT vec_id, vec, norm, centroid_id FROM scored_i WHERE rn = 1),
+qry AS (SELECT vec_id + {off} AS vec_id, vec, norm FROM base),
+scored_q AS (
+    SELECT q.vec_id, q.vec, q.norm, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(q.vec) + 1),
+                                             i -> q.vec[i] * c.cvec[i]), 'sum')
+                                       / (q.norm * c.cnorm), 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM qry q CROSS JOIN cents c
+),
+assigned_q AS (SELECT vec_id, vec, norm, centroid_id FROM scored_q WHERE rn = 1),
+pairs AS (
+    SELECT q.vec_id, i.vec_id AS neighbor_id,
+           round(list_aggregate(list_transform(range(1, len(q.vec) + 1),
+                                j -> q.vec[j] * i.vec[j]), 'sum')
+                 / (q.norm * i.norm), 6) AS cosine
+    FROM assigned_q q JOIN index_t i
+      ON q.centroid_id = i.centroid_id AND q.vec_id <> i.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
 EMBEDDING_NEAR_DUP_SQL = """
 WITH base AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,

@@ -243,6 +243,43 @@ MEDIA_FEATURES_WAV_SQL = _MEDIA_SQL_TEMPLATE.format(
 )
 
 
+PDF_MEDIA_SCHEMA = (
+    "doc_id string, media_ref string, media_type string, content binary"
+)
+
+
+def extract_pdf_media(raw: DataFrame) -> DataFrame:
+    """(doc_id, content binary) → one row per embedded image XObject:
+    (doc_id, media_ref, media_type, content).
+
+    Bridges raw PDFs into the media pipeline: the transport filters are
+    undone in functions/pdf.py::pdf_media_payloads and the codec payload
+    (e.g. the JPEG file inside a /DCTDecode stream) flows straight into
+    :func:`extract_media_features`. Vectorized mapInPandas; per-doc
+    failures skip-and-continue (reference O17 semantics, run.py:27-39 —
+    a malformed PDF must not kill the task)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from azure_pdf_parser_spark.functions.pdf import pdf_media_payloads
+
+        for b in batches:
+            out = []
+            for doc_id, content in zip(b["doc_id"], b["content"]):
+                try:
+                    for p in pdf_media_payloads(bytes(content)):
+                        out.append(
+                            (doc_id, p["media_ref"], p["media_type"],
+                             p["content"])
+                        )
+                except Exception:
+                    continue
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_ref", "media_type", "content"]
+            )
+
+    return raw.mapInPandas(run, schema=PDF_MEDIA_SCHEMA)
+
+
 DECODED_SCHEMA = (
     "media_ref string, frame_index int, features array<float>, "
     "status string, error string"

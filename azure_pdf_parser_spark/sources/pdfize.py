@@ -49,7 +49,6 @@ _HEADER = (
     "/Contents 4 0 R >> endobj\n"
     "4 0 obj << /Length "
 )
-_FOOTER = "endstream\nendobj\n%%EOF\n"
 
 
 def _fragment_builder(doc_id: Column, words: Column):
@@ -77,20 +76,85 @@ def _fragment_builder(doc_id: Column, words: Column):
     return fragment
 
 
-def pdf_col(doc_id: Column, text: Column) -> Column:
-    """One single-page PDF document (string; encode to binary at the source)."""
+def pdf_col(doc_id: Column, text: Column, with_images: bool = False) -> Column:
+    """One single-page PDF document (string; encode to binary at the
+    source). ``with_images`` appends a real JPEG image XObject per
+    figure chunk after the content stream — same content stream, so the
+    parse-side span sequence and offsets are byte-identical either way."""
     words = F.split(text, " ")
     n_chunks = F.ceil(F.size(words) / F.lit(float(WORDS_PER_SPAN))).cast("int")
     stream = F.array_join(
         F.transform(F.sequence(F.lit(0), n_chunks - 1), _fragment_builder(doc_id, words)),
         "",
     )
-    return F.concat(
+    parts = [
         F.lit(_HEADER),
         F.length(stream).cast("string"),
         F.lit(" >>\nstream\n"),
         stream,
-        F.lit(_FOOTER),
+        F.lit("endstream\nendobj\n"),
+    ]
+    if with_images:
+        parts.append(_image_objects_col(doc_id, n_chunks))
+    parts.append(F.lit("%%EOF\n"))
+    return F.concat(*parts)
+
+
+def _image_objects_col(doc_id: Column, n_chunks: Column) -> Column:
+    """Concatenated image XObject objects (one per 'f' chunk): a real
+    12-byte JPEG header (SOI + SOF0, dimensions from the chunk hash's
+    first two nibbles — the same nibbles the media oracle predicts
+    from) carried as an /ASCIIHexDecode → /DCTDecode stream, so the
+    whole object is ASCII and JVM-constructible while the extractor
+    exercises a real transport-filter chain. /Name /Im{h} matches the
+    content stream's '/Im{h} Do' figure reference."""
+
+    def hex_be16(col: Column) -> Column:
+        return F.lpad(F.hex(col), 4, "0")
+
+    def image_obj(i: Column) -> Column:
+        h = F.md5(F.concat(doc_id.cast("string"), F.lit(":"), i.cast("string")))
+        nib1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+        nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+        width = (16 * (nib1 + 1)).cast("int")
+        height = (16 * (nib2 + 1)).cast("int")
+        # 24 hex chars = 12 bytes: FFD8 (SOI) FFC0 len=17 precision=8
+        # height width + 1 pad byte (same header synth as the
+        # media_features_jpeg gate — one prediction formula both sides)
+        jpeg_hex = F.concat(
+            F.lit("FFD8FFC0001108"), hex_be16(height), hex_be16(width),
+            F.lit("00"),
+        )
+        obj = F.concat(
+            (F.lit(5) + i).cast("string"),
+            F.lit(" 0 obj << /Type /XObject /Subtype /Image /Name /Im"),
+            h,
+            F.lit(" /Width "), width.cast("string"),
+            F.lit(" /Height "), height.cast("string"),
+            F.lit(" /Filter [/ASCIIHexDecode /DCTDecode] /Length 24"
+                  " >>\nstream\n"),
+            jpeg_hex,
+            F.lit("\nendstream endobj\n"),
+        )
+        return F.when(F.substring(h, 1, 1) == "f", obj).otherwise(F.lit(""))
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), image_obj), ""
+    )
+
+
+def synth_pdf_documents_with_images(docs: DataFrame) -> DataFrame:
+    """Single-page synth PDFs with REAL embedded JPEG image XObjects for
+    every figure chunk — the input of the pdf_media_features gate. The
+    content stream (and so the parse-side span sequence and offsets) is
+    byte-identical to :func:`synth_pdf_documents`; the image objects sit
+    after it and are skipped by the content parser."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("application/pdf").alias("content_type"),
+        F.encode(
+            pdf_col(F.col("doc_id"), F.col("text"), with_images=True), "UTF-8"
+        ).alias("content"),
     )
 
 

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "media_features_gif",
     "media_features_jpeg",
     "media_features_wav",
+    "pdf_media_features",
     "events_windowed",
     "events_sessionize",
     "events_session_window",
@@ -111,6 +112,15 @@ EXCLUDED_QUERIES = {
     "stream_dedup_exact": (
         "streaming gate: same fixed-cost profile; the batch analog is "
         "the benched dedup_exact"
+    ),
+    "ann_ivf_lifecycle": (
+        "lifecycle gate: wall-clock is dominated by writing/reading the "
+        "partitioned index under a temp dir; the probe plan it exercises "
+        "is the benched ann_ivf_topk"
+    ),
+    "binaryfile_pdf_parse": (
+        "source gate: writes one PDF file per doc driver-side as "
+        "scaffolding; the distributed parse plan is the benched pdf_parse"
     ),
 }
 

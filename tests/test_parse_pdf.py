@@ -263,3 +263,128 @@ def test_predictor_quarantines():
     )
     with pytest.raises(NotImplementedError):
         pdf_to_spans(pdf)
+
+
+# --- embedded-image media bridge ---------------------------------------------
+
+
+def _image_pdf(filters: bytes, body: bytes, name: bytes = b"/Name /Imcafe01") -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"3 0 obj << /Type /Page /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(STREAM)).encode() + b" >>\nstream\n"
+        + STREAM + b"endstream\nendobj\n"
+        b"5 0 obj << /Type /XObject /Subtype /Image " + name
+        + b" /Width 8 /Height 8 /Filter " + filters
+        + b" /Length " + str(len(body)).encode() + b" >>\nstream\n"
+        + body + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+JPEG_HEADER = bytes.fromhex("FFD8FFC00011080020001000")  # 32x16 SOF0
+
+
+def test_pdf_media_payloads_dct_passthrough():
+    """A /DCTDecode stream's body IS the JPEG file — extraction applies
+    no codec, and the payload header-parses to the embedded dims."""
+    from azure_pdf_parser_spark.functions.pdf import pdf_media_payloads
+    from azure_pdf_parser_spark.operators.multimodal import (
+        header_dimensions,
+        sniff_format,
+    )
+
+    out = pdf_media_payloads(_image_pdf(b"/DCTDecode", JPEG_HEADER))
+    assert len(out) == 1
+    assert out[0]["media_ref"] == "media://cafe01"
+    assert out[0]["media_type"] == "image"
+    assert sniff_format(out[0]["content"]) == "jpeg"
+    assert header_dimensions("jpeg", out[0]["content"]) == (16, 32)
+
+
+def test_pdf_media_payloads_transport_chain():
+    """Transport filters (ASCIIHex here) are undone; the terminal image
+    codec is the extraction boundary."""
+    from azure_pdf_parser_spark.functions.pdf import pdf_media_payloads
+
+    hex_body = JPEG_HEADER.hex().upper().encode()
+    out = pdf_media_payloads(
+        _image_pdf(b"[/ASCIIHexDecode /DCTDecode]", hex_body)
+    )
+    assert len(out) == 1
+    assert out[0]["content"] == JPEG_HEADER
+
+
+def test_pdf_media_payloads_codec_not_last_quarantines():
+    from azure_pdf_parser_spark.functions.pdf import pdf_media_payloads
+
+    with pytest.raises(NotImplementedError, match="not last"):
+        pdf_media_payloads(
+            _image_pdf(b"[/DCTDecode /ASCIIHexDecode]", JPEG_HEADER)
+        )
+
+
+def test_pdf_media_payloads_unnamed_image_skipped():
+    from azure_pdf_parser_spark.functions.pdf import pdf_media_payloads
+
+    assert pdf_media_payloads(_image_pdf(b"/DCTDecode", JPEG_HEADER, name=b"")) == []
+
+
+def test_synth_with_images_content_stream_unchanged(spark):
+    """Adding image XObjects must not move a single content-stream byte:
+    the parse-side spans (incl. offsets) are identical with and without
+    the embedded images."""
+    from azure_pdf_parser_spark.functions.pdf import pdf_to_spans
+    from azure_pdf_parser_spark.sources.pdfize import (
+        synth_pdf_documents,
+        synth_pdf_documents_with_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 20) for i in range(24)],
+        "doc_id long, text string",
+    )
+    plain = {r["doc_id"]: bytes(r["content"]) for r in synth_pdf_documents(docs).collect()}
+    imaged = {r["doc_id"]: bytes(r["content"]) for r in synth_pdf_documents_with_images(docs).collect()}
+    assert any(len(imaged[k]) > len(plain[k]) for k in plain)  # some figures exist
+    for k in plain:
+        assert pdf_to_spans(imaged[k]) == pdf_to_spans(plain[k])
+
+
+def test_extract_pdf_media_joins_figure_spans(spark):
+    """Every figure span's media_ref resolves to a decodable JPEG payload
+    whose parsed dims follow the nibble formula."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.operators.multimodal import (
+        extract_media_features,
+        extract_pdf_media,
+    )
+    from azure_pdf_parser_spark.operators.parse import parse_documents
+    from azure_pdf_parser_spark.sources.pdfize import (
+        synth_pdf_documents_with_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 20) for i in range(24)],
+        "doc_id long, text string",
+    )
+    raw = synth_pdf_documents_with_images(docs)
+    figures = (
+        parse_documents(raw)
+        .select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "figure")
+        .select(F.col("s.media_ref").alias("media_ref"))
+    )
+    feats = extract_media_features(
+        extract_pdf_media(raw).select("media_ref", "media_type", "content")
+    )
+    joined = figures.join(feats, "media_ref", "left").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r["format"] == "jpeg", r
+        assert r["status"] == "ok", r
+        h = r["media_ref"][8:]
+        nib = "0123456789abcdef"
+        assert r["width"] == 16 * (nib.index(h[0]) + 1)
+        assert r["height"] == 16 * (nib.index(h[1]) + 1)
