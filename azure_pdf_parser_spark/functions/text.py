@@ -47,7 +47,7 @@ def _score(text: Column | str, lang: str) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Wide language identification: 29 languages, three bit-identical mirrors
+# Wide language identification: 49 languages, three bit-identical mirrors
 # (Spark Column / DuckDB SQL / pure Python in model.detect_language).
 #
 # The reference delegates to langdetect (~55 languages, pinned seed —
@@ -65,7 +65,7 @@ def _score(text: Column | str, lang: str) -> Column:
 # Cross-engine word boundaries: RE2's \b is ASCII-only, so non-Latin
 # stopwords can't use \b. Instead the text is prepared as
 #   ' ' || double_spaces(strip_non_letters(sample)) || ' '
-# and ONE combined regex over all 24 profiles' words extracts the
+# and ONE combined regex over all word profiles' stopwords extracts the
 # space-surrounded stopword tokens — doubling the spaces makes adjacent
 # tokens non-overlapping for the regex scanner. Per-language scores are
 # then array_intersect against each profile (distinct semantics in
@@ -74,7 +74,7 @@ def _score(text: Column | str, lang: str) -> Column:
 # all three mirrors identical (hypothesis-checked, astral included).
 #
 # Why intersect, not per-word counts: the scores sit in ONE projection
-# 24×. array_intersect is lambda-free, so whole-stage codegen CSE
+# per profile. array_intersect is lambda-free, so whole-stage codegen CSE
 # collapses the 24 identical hits/prepared subtrees to one evaluation —
 # measured 1.1 s for 200k docs. A filter(hits, λ)-count formulation
 # re-evaluates the combined scan per language (fresh lambda-variable
@@ -88,30 +88,50 @@ LANGID_SAMPLE_CHARS = 256
 # smallest dict index, the SQL tie-break is ORDER BY code ASC — they
 # agree only while insertion order == lexicographic order.
 LANG_PROFILES: dict[str, tuple[str, tuple]] = {
+    "am": ("script", ("ሀ", "፿")),  # Ethiopic
     "ar": ("script", ("؀", "ۿ")),
     "bg": ("words", ("да", "се", "са", "това", "към", "е")),
+    "bn": ("script", ("ঀ", "৿")),  # Bengali
+    "ca": ("words", ("els", "amb", "és", "dels", "per", "aquesta")),
     "cs": ("words", ("je", "nejsou", "ale", "že", "jsou", "není")),
     "da": ("words", ("og", "er", "ikke", "det", "af")),
     "de": ("words", ("der", "die", "das", "und", "nicht", "ist", "im")),
     "el": ("script", ("Ͱ", "Ͽ")),
     "en": ("words", ("the", "and", "of", "to", "is", "it", "that")),
     "es": ("words", ("el", "los", "las", "una", "es", "y", "está")),
+    "et": ("words", ("ja", "ei", "on", "see", "ning", "oma")),
     "fi": ("words", ("ja", "ei", "eivät", "ole", "mutta", "se")),
     "fr": ("words", ("le", "les", "est", "dans", "une", "et", "que")),
+    "gu": ("script", ("઀", "૿")),  # Gujarati
     "he": ("script", ("֐", "׿")),
     "hi": ("script", ("ऀ", "ॿ")),
+    "hr": ("words", ("je", "su", "nije", "ali", "ovo", "što")),
     "hu": ("words", ("és", "nincs", "de", "az", "ez", "egy")),
+    "hy": ("script", ("Ա", "֏")),  # Armenian
     "id": ("words", ("dan", "tidak", "ada", "di", "yang", "ini")),
     "it": ("words", ("il", "nella", "non", "sono", "che", "è")),
     "ja": ("script", ("぀", "ヿ")),
+    "ka": ("script", ("Ⴀ", "ჿ")),  # Georgian
+    "km": ("script", ("ក", "៿")),  # Khmer
+    "kn": ("script", ("ಀ", "೿")),  # Kannada
     "ko": ("script", ("가", "힯")),
+    "lo": ("script", ("຀", "໿")),  # Lao
+    "lt": ("words", ("ir", "yra", "nėra", "bet", "šis", "tai")),
+    "lv": ("words", ("un", "nav", "tas", "šī", "ar", "bija")),
+    "ml": ("script", ("ഀ", "ൿ")),  # Malayalam
+    "my": ("script", ("က", "႟")),  # Myanmar
     "nl": ("words", ("het", "zijn", "niet", "een", "ook", "voor")),
     "no": ("words", ("og", "er", "ikke", "det", "av")),
+    "pa": ("script", ("਀", "੿")),  # Gurmukhi
     "pl": ("words", ("nie", "są", "ale", "jest", "w", "z")),
     "pt": ("words", ("não", "uma", "os", "em", "com", "para")),
     "ro": ("words", ("și", "nu", "în", "este", "dar", "sunt")),
     "ru": ("words", ("и", "не", "в", "но", "это", "как")),
+    "si": ("script", ("඀", "෿")),  # Sinhala
     "sv": ("words", ("och", "är", "inte", "som", "ett", "på")),
+    "sw": ("words", ("na", "ya", "wa", "kwa", "katika", "ni")),
+    "ta": ("script", ("஀", "௿")),  # Tamil
+    "te": ("script", ("ఀ", "౿")),  # Telugu
     "th": ("script", ("฀", "๿")),
     "tr": ("words", ("ve", "değil", "ama", "bir", "bu", "şey")),
     "uk": ("words", ("і", "не", "в", "але", "це", "як")),
@@ -125,30 +145,50 @@ assert list(LANG_PROFILES) == sorted(LANG_PROFILES)
 # and the three-mirror accuracy test). No apostrophes — each string is
 # inlined into SQL literals.
 LANGID_WIDE_SENTENCES: dict[str, str] = {
+    "am": "ውሻው እና ድመቷ በቤት ውስጥ አይደሉም ይህ ሙከራ ነው",
     "ar": "الكلب والقط ليسا في المنزل هذا اختبار",
     "bg": "кучето и котката не са в къщата да се това е",
+    "bn": "কুকুর এবং বিড়াল বাড়িতে নেই এটি একটি পরীক্ষা",
+    "ca": "els gossos no són a la casa amb aquesta prova dels veïns és per tu",
     "cs": "pes a kočka nejsou v domě ale je to že není",
     "da": "hunden og katten er ikke i huset af det",
     "de": "der hund und die katze sind nicht im haus",
     "el": "ο σκύλος και η γάτα δεν είναι στο σπίτι",
     "en": "the cat is on the mat and it is that warm",
     "es": "el perro y los gatos están en una casa es",
+    "et": "koer ja kass ei käi majas see on ning meie oma test",
     "fi": "koira ja kissa eivät ole talossa mutta se on",
     "fr": "le chien est dans une maison et les chats que",
+    "gu": "કૂતરો અને બિલાડી ઘરમાં નથી આ એક પરીક્ષણ છે",
     "he": "הכלב והחתול לא בבית זה מבחן",
     "hi": "कुत्ता और बिल्ली घर में नहीं हैं यह एक परीक्षण है",
+    "hr": "pas i mačka nije u kući ali ovo su psi što je test",
     "hu": "a kutya és a macska nincs a házban de az egy",
+    "hy": "շունը և կատուն տանը չեն սա փորձություն է",
     "id": "anjing dan kucing tidak ada di rumah yang ini",
     "it": "il cane è nella casa e non sono che qui",
     "ja": "犬と猫は家にいませんこれはテストです",
+    "ka": "ძაღლი და კატა სახლში არ არიან ეს ტესტია",
+    "km": "ឆ្កែ និង ឆ្មា មិននៅផ្ទះទេ នេះជាការសាកល្បង",
+    "kn": "ನಾಯಿ ಮತ್ತು ಬೆಕ್ಕು ಮನೆಯಲ್ಲಿ ಇಲ್ಲ ಇದು ಪರೀಕ್ಷೆ",
     "ko": "개와 고양이는 집에 없습니다 이것은 테스트입니다",
+    "lo": "ຫມາ ແລະ ແມວ ບໍ່ຢູ່ເຮືອນ ນີ້ແມ່ນການທົດສອບ",
+    "lt": "šuo ir katė yra ne namuose bet šis tai nėra testas",
+    "lv": "suns un kaķis nav mājās tas ir šī pārbaude ar to bija",
+    "ml": "നായയും പൂച്ചയും വീട്ടിൽ ഇല്ല ഇത് ഒരു പരീക്ഷണം",
+    "my": "ခွေးနှင့်ကြောင်သည်အိမ်တွင်မရှိပါ ဤသည်စမ်းသပ်မှုဖြစ်သည်",
     "nl": "de hond en de kat zijn niet in het huis ook",
     "no": "hunden og katten er ikke i huset av det",
+    "pa": "ਕੁੱਤਾ ਅਤੇ ਬਿੱਲੀ ਘਰ ਵਿੱਚ ਨਹੀਂ ਹਨ ਇਹ ਇੱਕ ਟੈਸਟ ਹੈ",
     "pl": "pies i kot nie są w domu ale to jest z",
     "pt": "o cão não está em uma casa com os para gatos",
     "ro": "câinele și pisica nu sunt în casă dar este",
     "ru": "собака и кошка не в доме но это как",
+    "si": "බල්ලා සහ බළලා ගෙදර නැත මෙය පරීක්ෂණයකි",
     "sv": "hunden och katten är inte i huset som ett på",
+    "sw": "mbwa na paka si ndani ya nyumba hii ni jaribio kwa wa katika",
+    "ta": "நாயும் பூனையும் வீட்டில் இல்லை இது ஒரு சோதனை",
+    "te": "కుక్క మరియు పిల్లి ఇంట్లో లేవు ఇది ఒక పరీక్ష",
     "th": "สุนัขและแมวไม่อยู่ในบ้านนี่คือการทดสอบ",
     "tr": "köpek ve kedi evde değil ama bu bir şey",
     "uk": "собака і кішка не в домі але це як",
@@ -247,7 +287,7 @@ def with_language(df, text: Column, out: str):
 
 
 def language_expr(text: Column | str) -> Column:
-    """Detected language code (29 languages), or NULL on no signal.
+    """Detected language code (49 languages), or NULL on no signal.
 
     argmax over per-language scores; ties go to the lexicographically
     smallest code. Built so each per-language score expression appears
@@ -260,7 +300,7 @@ def language_expr(text: Column | str) -> Column:
     The word-profile scores share one combined stopword scan (`hits`)
     and intersect it per language — both subtrees are lambda-free, so
     whole-stage codegen CSE evaluates them once per row even though the
-    hits tree appears 24× in the projection (see module header for the
+    hits tree appears once per word profile (see module header for the
     measured alternatives).
     """
     # NO lambda anywhere in this tree — higher-order functions are

@@ -41,7 +41,7 @@ BOILERPLATE_KINDS = ("pageHeader", "pageFooter", "pageNumber")
 
 # ---------------------------------------------------------------------------
 # Language heuristic (must match functions/text.py::language_expr and
-# its language_sql DuckDB mirror — 29 languages, stopword-token counts
+# its language_sql DuckDB mirror — 49 languages, stopword-token counts
 # for Latin/Cyrillic profiles, script-block char counts otherwise;
 # argmax, ties to the lexicographically smallest code, no signal → None)
 # ---------------------------------------------------------------------------
