@@ -97,6 +97,7 @@ def run_extract(
     run_id: str | None = None,
     num_partitions: int | None = None,
     spanize: bool = False,
+    output_format=None,
 ) -> str:
     """The full job. Returns the run_id. Restart-safe: docs already
     'done' in the manifest are skipped via left-anti join.
@@ -107,8 +108,17 @@ def run_extract(
     the several-times-larger derived span structs, and a resume no-op
     never derives a span at all (measured 3m47s → well under a minute
     on a 5M-doc no-op rerun).
+
+    ``output_format`` is the table-format seam (sinks/table_format.py):
+    default :class:`ParquetDirFormat` keeps the run-scoped-dir + marker
+    commit protocol; an :class:`IcebergFormat` deployment appends one
+    atomic snapshot per run instead (``dest`` then names a catalog
+    table and run scoping becomes the ``run_id`` column, not a dir).
     """
+    from azure_pdf_parser_spark.sinks.table_format import ParquetDirFormat
     from azure_pdf_parser_spark.sources.spanize import derive_spans
+
+    output_format = output_format or ParquetDirFormat()
 
     run_id = run_id or uuid.uuid4().hex[:12]
 
@@ -129,7 +139,7 @@ def run_extract(
     # atomic run commit (manifest.py module docstring): run-scoped output
     # dir, manifest append, then ONE marker rename publishes both — a
     # crash at any point leaves no half-visible run
-    extracted.write.mode("error").parquet(f"{output_path}/run_id={run_id}")
+    output_format.write(extracted, f"{output_path}/run_id={run_id}", mode="error")
     mf.append_manifest(extracted, manifest_path, run_id)
     mf.commit_run(manifest_path, run_id)
     return run_id

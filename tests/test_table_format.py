@@ -1,0 +1,95 @@
+"""Table-format seam (sinks/table_format.py): parquet default is
+byte-equivalent to the direct write; the Iceberg adapter fails loudly
+with configuration guidance when no catalog is registered (this sandbox
+has no Iceberg runtime); identifier composition is pure and validated.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from azure_pdf_parser_spark.sinks.table_format import (
+    IcebergFormat,
+    ParquetDirFormat,
+    iceberg_available,
+    iceberg_table_name,
+)
+
+
+def test_parquet_format_roundtrip_matches_direct_write(spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "md5(cast(id as string)) AS h")
+    direct = str(tmp_path / "direct")
+    seamed = str(tmp_path / "seamed")
+    df.write.mode("error").partitionBy().parquet(direct)
+    ParquetDirFormat().write(df, seamed, mode="error")
+    a = spark.read.parquet(direct).orderBy("id").collect()
+    b = ParquetDirFormat().read(spark, seamed).orderBy("id").collect()
+    assert a == b
+
+
+def test_parquet_format_partition_by_prunes(spark, tmp_path):
+    df = spark.range(100).selectExpr("id", "cast(id % 4 as string) AS part")
+    dest = str(tmp_path / "parted")
+    ParquetDirFormat().write(df, dest, mode="error", partition_by=("part",))
+    assert sorted(
+        e for e in os.listdir(dest) if e.startswith("part=")
+    ) == ["part=0", "part=1", "part=2", "part=3"]
+    got = ParquetDirFormat().read(spark, dest).where("part = '2'")
+    assert got.count() == 25
+
+
+def test_parquet_format_respects_explicit_schema(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    dest = str(tmp_path / "schema")
+    spark.range(10).selectExpr("id", "id * 2 AS dbl").write.parquet(dest)
+    schema = StructType([StructField("id", LongType())])
+    got = ParquetDirFormat().read(spark, dest, schema=schema)
+    assert got.columns == ["id"]  # pruned at the reader, no inference
+
+
+def test_run_extract_through_explicit_parquet_format(spark, tmp_path):
+    """The seam's default path is the pre-seam run_extract behavior."""
+    from azure_pdf_parser_spark.plans.extract import run_extract
+    from azure_pdf_parser_spark.plans.manifest import read_parser_output
+    from azure_pdf_parser_spark.sources.spanize import derive_spans
+    from azure_pdf_parser_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = derive_spans(load_table(spark, SF_DIR, "documents").limit(20))
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest")
+    run_extract(
+        spark, docs, out, man, run_id="seamrun", output_format=ParquetDirFormat()
+    )
+    assert read_parser_output(spark, out, man).count() == 20
+
+
+def test_iceberg_table_name_composition():
+    assert iceberg_table_name("prod", "cpr.parser_output") == "prod.cpr.parser_output"
+    assert iceberg_table_name("", "cpr.parser_output") == "cpr.parser_output"
+    with pytest.raises(ValueError):
+        iceberg_table_name("prod", "")
+    with pytest.raises(ValueError):
+        iceberg_table_name("prod", ".bad")
+
+
+def test_iceberg_unavailable_in_sandbox_raises_guidance(spark):
+    assert not iceberg_available(spark, "prod")
+    df = spark.range(3)
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.prod"):
+        IcebergFormat(catalog="prod").write(df, "db.t", mode="append")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        IcebergFormat(catalog="prod").read(spark, "db.t")
+
+
+def test_iceberg_mode_validation(spark, monkeypatch):
+    """With the availability probe faked, unsupported modes still fail
+    fast before any writeTo call is issued."""
+    import azure_pdf_parser_spark.sinks.table_format as tf
+
+    monkeypatch.setattr(tf, "iceberg_available", lambda s, c: True)
+    with pytest.raises(ValueError, match="unsupported mode"):
+        tf.IcebergFormat("prod").write(spark.range(1), "db.t", mode="ignore")
