@@ -207,6 +207,13 @@ def bench_queries(spark) -> dict[str, float]:
         try:
             df = QUERIES[name](spark, SF_DIR)
             run_noop(df)  # warm: codegen + scan cache; measure the steady state
+            if name in EAGER_BUILD:
+                # drop the warm run's tracked persists BEFORE timing: the
+                # CacheManager substitutes cached plans by logical-plan
+                # EQUALITY, not DataFrame identity, so a rebuilt query
+                # would silently hit the warm run's materialized
+                # intermediates and report a cache-hit time
+                release_all()
             t0 = time.perf_counter()
             if name in EAGER_BUILD:
                 run_noop(QUERIES[name](spark, SF_DIR))
@@ -241,7 +248,7 @@ def materialize_amplified(sf_dir: str, factor: int, path: str) -> None:
         spark.stop()
 
 
-def _measure_cores(cores: int, input_path: str, n_docs: int, reps: int = 3) -> float:
+def _measure_cores(cores: int, input_path: str, n_docs: int, reps: int = 2) -> float:
     """Best-of-reps flagship docs/sec at local[cores] (fresh session).
 
     maxPartitionBytes is pinned so every file is its own split at BOTH
@@ -263,6 +270,20 @@ def _measure_cores(cores: int, input_path: str, n_docs: int, reps: int = 3) -> f
     return rate
 
 
+SCALING_SESSIONS = 3  # independent JVM sessions per (cores, input) cell
+
+
+def _measure_cell(cores: int, input_path: str, n_docs: int) -> list[float]:
+    """SCALING_SESSIONS independent session-best rates for one cell.
+
+    The repeat is UNCONDITIONAL and identical for every cell — no
+    outcome-dependent retry — so the procedure cannot bias the reported
+    efficiency in either direction. Each sample is a fresh JVM so the
+    samples straddle the host's transient-interference windows instead
+    of sharing one."""
+    return [_measure_cores(cores, input_path, n_docs) for _ in range(SCALING_SESSIONS)]
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -278,20 +299,26 @@ def bench_scaling(n_base_docs: int) -> dict:
     4→16 on a 32-core host) representing per-executor scaling on a real
     cluster, and the full-host pair (8→32). Each pair reads an identical
     pre-materialized many-file corpus; the workload is sized so the high
-    tier's elapsed time dwarfs fixed job overhead; every core count is
-    measured best-of-3 to shrug off transient host interference."""
+    tier's elapsed time dwarfs fixed job overhead.
+
+    Measurement policy (symmetric by construction): every (cores, input)
+    cell gets SCALING_SESSIONS independent fresh-JVM samples, always —
+    no outcome-conditioned retry anywhere, so no step of the procedure
+    can be entered more often for low results than for high ones. Each
+    tier then reports TWO efficiencies: `efficiency` from the per-side
+    MEDIAN rates (the headline / north-rule evidence) and
+    `efficiency_best` from the per-side best rates (the uncontended
+    upper estimate — interference on this shared host only ever slows a
+    run down, so max-of-samples is the least-confounded point estimate
+    per side). The returned headline is the best tier BY MEDIAN."""
     import shutil
+    import statistics
     import tempfile
 
     tiers = []
-    # three candidate N→4N pairs: the host shows transient interference
-    # (identical code has measured the 8-core tier anywhere in a ±50%
-    # band across runs), so the probe takes best-of-3 per core count and
-    # reports every pair — the unsaturated-regime evidence is the MAX
-    # efficiency, per the host-saturation analysis in BENCH/BASELINE.md.
-    # Workloads are sized per pair so runtimes stay in the tens of
-    # seconds (within-pair comparability is what matters); the two small
-    # pairs share one materialized corpus.
+    # three N→4N pairs. Workloads are sized per pair so runtimes stay in
+    # the tens of seconds (within-pair comparability is what matters);
+    # the two small pairs share one materialized corpus.
     amp_small = SCALING_AMPLIFY // 2
     amp_big = SCALING_AMPLIFY * 2
     pairs = [
@@ -301,50 +328,32 @@ def bench_scaling(n_base_docs: int) -> dict:
     ]
     tmp_root = tempfile.mkdtemp(prefix="bench_scaling_")
     try:
-        rates: dict[tuple[int, int], float] = {}  # (cores, amplify) -> docs/s
+        cells: dict[tuple[int, int], list[float]] = {}  # (cores, amplify) -> rates
         for lo, hi, amplify in pairs:
             path = os.path.join(tmp_root, f"docs_x{amplify}.parquet")
             if not os.path.exists(path):
                 materialize_amplified(SF_DIR, amplify, path)
             n_docs = n_base_docs * amplify
             for cores in (lo, hi):
-                if (cores, amplify) not in rates:
-                    rates[(cores, amplify)] = _measure_cores(cores, path, n_docs)
-            rate_lo, rate_hi = rates[(lo, amplify)], rates[(hi, amplify)]
-            speedup = rate_hi / rate_lo
+                if (cores, amplify) not in cells:
+                    cells[(cores, amplify)] = _measure_cell(cores, path, n_docs)
+            lo_rates, hi_rates = cells[(lo, amplify)], cells[(hi, amplify)]
+            ratio = hi / lo
+            med_lo = statistics.median(lo_rates)
+            med_hi = statistics.median(hi_rates)
+            best_lo, best_hi = max(lo_rates), max(hi_rates)
             tiers.append(
                 {
                     "cores_lo": lo,
                     "cores_hi": hi,
                     "amplify": amplify,
-                    "docs_per_sec_lo": round(rate_lo, 1),
-                    "docs_per_sec_hi": round(rate_hi, 1),
-                    "speedup": round(speedup, 3),
-                    "efficiency": round(speedup / (hi / lo), 3),
-                }
-            )
-        best = max(tiers, key=lambda t: t["efficiency"])
-        # transient-interference retry: the host's measured band for the
-        # unsaturated tier is 0.70–0.95 across identical-code runs (CPU
-        # steal / turbo-clock confounds on a shared VM). If the best pair
-        # lands near/below the 0.8 bar, re-measure THAT pair once more
-        # (fresh best-of-3 per side, same input) and keep the max rate
-        # per core count — still a symmetric, documented procedure.
-        if best["efficiency"] < 0.85:
-            lo, hi = best["cores_lo"], best["cores_hi"]
-            amplify = best["amplify"]
-            path = os.path.join(tmp_root, f"docs_x{amplify}.parquet")
-            n_docs = n_base_docs * amplify
-            rate_lo = max(rates[(lo, amplify)], _measure_cores(lo, path, n_docs))
-            rate_hi = max(rates[(hi, amplify)], _measure_cores(hi, path, n_docs))
-            speedup = rate_hi / rate_lo
-            best.update(
-                {
-                    "docs_per_sec_lo": round(rate_lo, 1),
-                    "docs_per_sec_hi": round(rate_hi, 1),
-                    "speedup": round(speedup, 3),
-                    "efficiency": round(speedup / (hi / lo), 3),
-                    "retried": True,
+                    "rates_lo": [round(r, 1) for r in lo_rates],
+                    "rates_hi": [round(r, 1) for r in hi_rates],
+                    "docs_per_sec_lo": round(med_lo, 1),
+                    "docs_per_sec_hi": round(med_hi, 1),
+                    "speedup": round(med_hi / med_lo, 3),
+                    "efficiency": round((med_hi / med_lo) / ratio, 3),
+                    "efficiency_best": round((best_hi / best_lo) / ratio, 3),
                 }
             )
     finally:
@@ -352,12 +361,14 @@ def bench_scaling(n_base_docs: int) -> dict:
     best = max(tiers, key=lambda t: t["efficiency"])
     return {
         "tiers": tiers,
+        "sessions_per_cell": SCALING_SESSIONS,
         "cores_lo": best["cores_lo"],
         "cores_hi": best["cores_hi"],
         "docs_per_sec_lo": best["docs_per_sec_lo"],
         "docs_per_sec_hi": best["docs_per_sec_hi"],
         "speedup": best["speedup"],
         "efficiency": best["efficiency"],
+        "efficiency_best": best["efficiency_best"],
     }
 
 
