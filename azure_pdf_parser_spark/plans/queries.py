@@ -25,7 +25,7 @@ from azure_pdf_parser_spark.functions import text as text_fns
 from azure_pdf_parser_spark.functions import scrub as scrub_fns
 from azure_pdf_parser_spark.operators import ann, contamination, dedup, extract_spans
 from azure_pdf_parser_spark.operators import lm as lm_ops
-from azure_pdf_parser_spark.operators import sampling
+from azure_pdf_parser_spark.operators import packing, sampling
 from azure_pdf_parser_spark.operators import events as events_ops
 from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
 from azure_pdf_parser_spark.sources import htmlize, layoutize, pdfize
@@ -864,6 +864,16 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@query("pack_sequences", packing.pack_sequences_sql())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents concatenated in
+    doc_id order within md5 shards and cut every PACK_BUDGET whitespace
+    tokens — the standard pretraining pack, docs spanning boundaries.
+    One shard shuffle; the prefix-sum window and the per-pack explode
+    are shard-local (parallelism == shard count, no global sort)."""
+    return packing.pack_sequences(_docs(spark, sf_dir))
+
+
 @query("lm_surprisal", lm_ops.LM_SURPRISAL_SQL)
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal quality signal: capped-vocab corpus model
@@ -1456,8 +1466,10 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          table), events_session_window ≡ events_sessionize (same
 #          sessions, native operator), vocab_topk/token_stats share the
 #          tokenization paths benched by tfidf/lm gates,
-#          corpus_stats_rollup is plain ROLLUP, media_features_gif/wav
-#          mirror the in-cap png+jpeg header parses.
+#          corpus_stats_rollup is plain ROLLUP, media_features_gif/wav/
+#          jpeg mirror the in-cap header parses (the jpeg parse also
+#          runs in-cap through pdf_media_features, which feeds real
+#          embedded-JPEG payloads to the same extractor).
 #
 # Every entry — capped or not — still runs against its oracle in
 # tests/test_queries_vs_oracle.py on each pytest pass.
@@ -1474,6 +1486,7 @@ REGISTRY_ORDER = [
     "pdf_media_features",
     "binaryfile_pdf_parse",
     "lm_surprisal",
+    "pack_sequences",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "sample_splits",
@@ -1510,13 +1523,13 @@ REGISTRY_ORDER = [
     "stream_extract",
     "stream_dedup_exact",
     "media_features",
-    "media_features_jpeg",
     "dedup_embedding_cosine",
     "events_windowed",
     "events_sessionize",
     "stream_stateful_sessions",
     "events_asof_join",
     # — rotated out this round (green r1+r2, untouched, sibling-covered) —
+    "media_features_jpeg",
     "pdf_split",
     "minhash_jaccard_estimate",
     "events_session_window",

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "sample_splits",
     "sample_stratified",
+    "pack_sequences",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "dedup_embedding_cosine",
