@@ -47,7 +47,7 @@ def _score(text: Column | str, lang: str) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Wide language identification: 49 languages, three bit-identical mirrors
+# Wide language identification: 59 languages, three bit-identical mirrors
 # (Spark Column / DuckDB SQL / pure Python in model.detect_language).
 #
 # The reference delegates to langdetect (~55 languages, pinned seed —
@@ -88,18 +88,21 @@ LANGID_SAMPLE_CHARS = 256
 # smallest dict index, the SQL tie-break is ORDER BY code ASC — they
 # agree only while insertion order == lexicographic order.
 LANG_PROFILES: dict[str, tuple[str, tuple]] = {
+    "af": ("words", ("nie", "het", "vir", "ons", "baie", "jy")),
     "am": ("script", ("ሀ", "፿")),  # Ethiopic
     "ar": ("script", ("؀", "ۿ")),
     "bg": ("words", ("да", "се", "са", "това", "към", "е")),
     "bn": ("script", ("ঀ", "৿")),  # Bengali
     "ca": ("words", ("els", "amb", "és", "dels", "per", "aquesta")),
     "cs": ("words", ("je", "nejsou", "ale", "že", "jsou", "není")),
+    "cy": ("words", ("mae", "nid", "ond", "gyda", "bod", "wedi")),
     "da": ("words", ("og", "er", "ikke", "det", "af")),
     "de": ("words", ("der", "die", "das", "und", "nicht", "ist", "im")),
     "el": ("script", ("Ͱ", "Ͽ")),
     "en": ("words", ("the", "and", "of", "to", "is", "it", "that")),
     "es": ("words", ("el", "los", "las", "una", "es", "y", "está")),
     "et": ("words", ("ja", "ei", "on", "see", "ning", "oma")),
+    "fa": ("marker_script", "پچژگ"),  # Perso-Arabic additions
     "fi": ("words", ("ja", "ei", "eivät", "ole", "mutta", "se")),
     "fr": ("words", ("le", "les", "est", "dans", "une", "et", "que")),
     "gu": ("script", ("઀", "૿")),  # Gujarati
@@ -118,6 +121,7 @@ LANG_PROFILES: dict[str, tuple[str, tuple]] = {
     "lo": ("script", ("຀", "໿")),  # Lao
     "lt": ("words", ("ir", "yra", "nėra", "bet", "šis", "tai")),
     "lv": ("words", ("un", "nav", "tas", "šī", "ar", "bija")),
+    "mk": ("words", ("не", "се", "го", "тоа", "ова", "што")),
     "ml": ("script", ("ഀ", "ൿ")),  # Malayalam
     "my": ("script", ("က", "႟")),  # Myanmar
     "nl": ("words", ("het", "zijn", "niet", "een", "ook", "voor")),
@@ -128,13 +132,19 @@ LANG_PROFILES: dict[str, tuple[str, tuple]] = {
     "ro": ("words", ("și", "nu", "în", "este", "dar", "sunt")),
     "ru": ("words", ("и", "не", "в", "но", "это", "как")),
     "si": ("script", ("඀", "෿")),  # Sinhala
+    "sk": ("words", ("nie", "sú", "som", "ako", "čo", "ktorý")),
+    "sl": ("words", ("in", "je", "so", "tudi", "kot", "ni")),
+    "so": ("words", ("iyo", "waa", "oo", "ku", "ma", "tahay")),
+    "sq": ("words", ("dhe", "nuk", "një", "kjo", "por", "janë")),
     "sv": ("words", ("och", "är", "inte", "som", "ett", "på")),
     "sw": ("words", ("na", "ya", "wa", "kwa", "katika", "ni")),
     "ta": ("script", ("஀", "௿")),  # Tamil
     "te": ("script", ("ఀ", "౿")),  # Telugu
     "th": ("script", ("฀", "๿")),
+    "tl": ("words", ("ang", "mga", "hindi", "ito", "ay", "sa")),
     "tr": ("words", ("ve", "değil", "ama", "bir", "bu", "şey")),
     "uk": ("words", ("і", "не", "в", "але", "це", "як")),
+    "ur": ("marker_script", "ٹڈڑںےہ"),  # Urdu-specific letters
     "vi": ("words", ("và", "không", "ở", "trong", "của", "tôi")),
     "zh": ("script", ("一", "鿿")),
 }
@@ -145,18 +155,21 @@ assert list(LANG_PROFILES) == sorted(LANG_PROFILES)
 # and the three-mirror accuracy test). No apostrophes — each string is
 # inlined into SQL literals.
 LANGID_WIDE_SENTENCES: dict[str, str] = {
+    "af": "die hond het nie in die huis gekom nie dit is vir ons baie goed jy weet",
     "am": "ውሻው እና ድመቷ በቤት ውስጥ አይደሉም ይህ ሙከራ ነው",
     "ar": "الكلب والقط ليسا في المنزل هذا اختبار",
     "bg": "кучето и котката не са в къщата да се това е",
     "bn": "কুকুর এবং বিড়াল বাড়িতে নেই এটি একটি পরীক্ষা",
     "ca": "els gossos no són a la casa amb aquesta prova dels veïns és per tu",
     "cs": "pes a kočka nejsou v domě ale je to že není",
+    "cy": "mae y ci wedi bod yn y tŷ ond nid yw y gath gyda ni",
     "da": "hunden og katten er ikke i huset af det",
     "de": "der hund und die katze sind nicht im haus",
     "el": "ο σκύλος και η γάτα δεν είναι στο σπίτι",
     "en": "the cat is on the mat and it is that warm",
     "es": "el perro y los gatos están en una casa es",
     "et": "koer ja kass ei käi majas see on ning meie oma test",
+    "fa": "سگ و گربه در خانه نیستند این یک آزمایش است",
     "fi": "koira ja kissa eivät ole talossa mutta se on",
     "fr": "le chien est dans une maison et les chats que",
     "gu": "કૂતરો અને બિલાડી ઘરમાં નથી આ એક પરીક્ષણ છે",
@@ -175,6 +188,7 @@ LANGID_WIDE_SENTENCES: dict[str, str] = {
     "lo": "ຫມາ ແລະ ແມວ ບໍ່ຢູ່ເຮືອນ ນີ້ແມ່ນການທົດສອບ",
     "lt": "šuo ir katė yra ne namuose bet šis tai nėra testas",
     "lv": "suns un kaķis nav mājās tas ir šī pārbaude ar to bija",
+    "mk": "кучето и мачката не се во куќата ова е тест што го сакам тоа",
     "ml": "നായയും പൂച്ചയും വീട്ടിൽ ഇല്ല ഇത് ഒരു പരീക്ഷണം",
     "my": "ခွေးနှင့်ကြောင်သည်အိမ်တွင်မရှိပါ ဤသည်စမ်းသပ်မှုဖြစ်သည်",
     "nl": "de hond en de kat zijn niet in het huis ook",
@@ -185,21 +199,44 @@ LANGID_WIDE_SENTENCES: dict[str, str] = {
     "ro": "câinele și pisica nu sunt în casă dar este",
     "ru": "собака и кошка не в доме но это как",
     "si": "බල්ලා සහ බළලා ගෙදර නැත මෙය පරීක්ෂණයකි",
+    "sk": "pes nie je doma ale sú to psy čo som videl ako ktorý",
+    "sl": "pes in mačka nista v hiši to je tudi test so kot mi ni",
+    "so": "eyga iyo bisadda ma joogaan guriga waa tijaabo oo ku saabsan tahay",
+    "sq": "qeni dhe macja nuk janë në shtëpi kjo është një provë por jo",
     "sv": "hunden och katten är inte i huset som ett på",
     "sw": "mbwa na paka si ndani ya nyumba hii ni jaribio kwa wa katika",
     "ta": "நாயும் பூனையும் வீட்டில் இல்லை இது ஒரு சோதனை",
     "te": "కుక్క మరియు పిల్లి ఇంట్లో లేవు ఇది ఒక పరీక్ష",
     "th": "สุนัขและแมวไม่อยู่ในบ้านนี่คือการทดสอบ",
+    "tl": "ang aso at pusa ay hindi nasa bahay ito ay isang pagsubok sa mga bagay",
     "tr": "köpek ve kedi evde değil ama bu bir şey",
     "uk": "собака і кішка не в домі але це як",
+    "ur": "کتا اور بلی گھر میں نہیں ہیں یہ ایک امتحان ہے",
     "vi": "con chó và con mèo không ở trong nhà của tôi",
     "zh": "狗和猫不在房子里这是一个测试",
 }
 assert list(LANGID_WIDE_SENTENCES) == list(LANG_PROFILES)
 
 
+# Weight for "marker_script" profiles: fa/ur share ar's Arabic block,
+# so the block count can never separate them — instead they score on
+# letters the OTHER two languages don't use (fa: پ چ ژ گ; ur: ٹ ڈ ڑ ں
+# ے ہ; plain ar uses neither set). One marker letter must outrank ANY
+# block count: the sample is LANGID_SAMPLE_CHARS=256 chars, so a block
+# score is ≤ 256 < 512, making marker presence strictly dominant and
+# the scheme monotone/deterministic. (The same trick cannot split
+# hi/mr/ne: Devanagari distinguishers are whole words whose vowel signs
+# are combining marks — category Mn, not L — which the \p{L} cleaning
+# strips in all three mirrors, shredding the tokens. Documented
+# detector boundary: Devanagari resolves to hi.)
+MARKER_WEIGHT = 512
+
+
 def _script_pattern(lang: str) -> str:
-    lo, hi = LANG_PROFILES[lang][1]
+    kind, payload = LANG_PROFILES[lang]
+    if kind == "marker_script":
+        return f"[{payload}]"
+    lo, hi = payload
     return f"[{lo}-{hi}]"
 
 
@@ -239,10 +276,11 @@ def _winner_expr(prepared: Column, hits: Column) -> Column:
 
     def score(lang: str) -> Column:
         kind, payload = LANG_PROFILES[lang]
-        if kind == "script":
-            return F.size(
+        if kind in ("script", "marker_script"):
+            n = F.size(
                 F.regexp_extract_all(prepared, F.lit(_script_pattern(lang)), 0)
             )
+            return n * MARKER_WEIGHT if kind == "marker_script" else n
         return F.size(
             F.array_intersect(hits, F.array(*[F.lit(f" {w} ") for w in payload]))
         )
@@ -287,7 +325,7 @@ def with_language(df, text: Column, out: str):
 
 
 def language_expr(text: Column | str) -> Column:
-    """Detected language code (49 languages), or NULL on no signal.
+    """Detected language code (59 languages), or NULL on no signal.
 
     argmax over per-language scores; ties go to the lexicographically
     smallest code. Built so each per-language score expression appears
@@ -333,8 +371,9 @@ def language_sql(text_sql: str) -> str:
 
     def score(lang: str) -> str:
         kind, payload = LANG_PROFILES[lang]
-        if kind == "script":
-            return f"len(regexp_extract_all({prep}, '{_script_pattern(lang)}'))"
+        if kind in ("script", "marker_script"):
+            n = f"len(regexp_extract_all({prep}, '{_script_pattern(lang)}'))"
+            return f"({n} * {MARKER_WEIGHT})" if kind == "marker_script" else n
         words = ", ".join(f"' {w} '" for w in payload)
         return f"len(list_intersect({hits}, [{words}]))"
 

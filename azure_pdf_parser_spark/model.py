@@ -41,7 +41,7 @@ BOILERPLATE_KINDS = ("pageHeader", "pageFooter", "pageNumber")
 
 # ---------------------------------------------------------------------------
 # Language heuristic (must match functions/text.py::language_expr and
-# its language_sql DuckDB mirror — 49 languages, stopword-token counts
+# its language_sql DuckDB mirror — 59 languages, stopword-token counts
 # for Latin/Cyrillic profiles, script-block char counts otherwise;
 # argmax, ties to the lexicographically smallest code, no signal → None)
 # ---------------------------------------------------------------------------
@@ -62,10 +62,14 @@ def detect_language(text: Optional[str]) -> Optional[str]:
     cleaned = "".join(ch if ch.isalpha() or ch == " " else " " for ch in sample)
     tokens = set(cleaned.split(" "))
     best_lang, best_score = None, 0
+    from azure_pdf_parser_spark.functions.text import MARKER_WEIGHT
+
     for lang, (kind, payload) in LANG_PROFILES.items():
         if kind == "script":
             lo, hi = payload
             score = sum(1 for ch in cleaned if lo <= ch <= hi)
+        elif kind == "marker_script":
+            score = sum(1 for ch in cleaned if ch in payload) * MARKER_WEIGHT
         else:
             score = len(tokens & set(payload))
         if score > best_score:  # ties keep the earlier (smaller) code

@@ -122,7 +122,7 @@ def doc_languages(documents: DataFrame, min_proportion: float = 0.4) -> DataFram
     from azure_pdf_parser_spark.functions.text import with_language
 
     # Relational, not array-local: a per-span language vote inside an
-    # array lambda evaluates the 49-profile detector interpreted per
+    # array lambda evaluates the 59-profile detector interpreted per
     # element (lambda projections are CodegenFallback, no CSE) — the
     # round-1 array-local form regressed to 46 s at sf0.1 when the
     # detector widened. Exploding first puts the detector in a

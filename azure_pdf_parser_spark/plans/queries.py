@@ -694,8 +694,8 @@ SELECT doc_id, {language_sql('text')} AS language FROM wide
 
 @query("langid_wide", _langid_wide_sql())
 def q_langid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """49-language detection over a deterministic multi-script corpus:
-    each doc gets the sample sentence of language ``doc_id % 49``
+    """59-language detection over a deterministic multi-script corpus:
+    each doc gets the sample sentence of language ``doc_id % 59``
     (Arabic/Hebrew/Greek/Thai/Devanagari/CJK scripts + 21 Latin/Cyrillic
     stopword profiles), then the detector runs — the gate proves the
     Spark and DuckDB mirrors agree on every script, and the pytest

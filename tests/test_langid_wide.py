@@ -1,4 +1,4 @@
-"""49-language detector: three-mirror parity + accuracy.
+"""59-language detector: three-mirror parity + accuracy.
 
 The Spark Column form (language_expr), the DuckDB SQL form
 (language_sql) and the pure-Python form (model.detect_language) must
@@ -39,8 +39,8 @@ def test_every_sentence_detects_as_its_own_language():
         assert detect_language(sent) == lang, (lang, detect_language(sent))
 
 
-def test_profiles_cover_49_languages_sorted():
-    assert len(LANG_PROFILES) == 49
+def test_profiles_cover_59_languages_sorted():
+    assert len(LANG_PROFILES) == 59
     assert list(LANG_PROFILES) == sorted(LANG_PROFILES)
     assert list(LANGID_WIDE_SENTENCES) == list(LANG_PROFILES)
 
