@@ -293,6 +293,57 @@ def ivf_query_topk(
     )
 
 
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """(vec_id, centroid_id, keep): SemDeDup-style clustered semantic dedup.
+
+    The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+    the embeddings with a coarse quantizer, then compare vectors ONLY
+    within their own cluster and drop all but one member of each
+    semantic-duplicate group. Here the cluster assignment is
+    :func:`ivf_assign` (broadcast codebook, no shuffle of the big side)
+    and the keep rule is deterministic: a vector is dropped iff some
+    same-cluster vector with a SMALLER vec_id has cosine >= threshold —
+    the lowest-id member of every duplicate group survives, and the
+    result is stable across partitionings and re-runs (the paper keeps
+    a random member; low-id is the seedless analog).
+
+    Scale posture: candidate generation is an equi-join on centroid_id —
+    identical to :func:`ivf_topk`, O(sum of list²) not O(n²); at 10⁹+
+    vectors the codebook is fit with enough centroids that per-list
+    sizes stay bounded, and the dup-id table is aggregated (distinct)
+    before the final left join, so the wide vectors never shuffle twice.
+    """
+    assigned = tracked_persist(ivf_assign(embeddings))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(
+            F.round(
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.35
 ) -> DataFrame:
@@ -414,6 +465,39 @@ ranked AS (
     FROM pairs
 )
 SELECT vec_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+SEMANTIC_DEDUP_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS centroid_id, vec AS cvec, norm AS cnorm FROM base WHERE vec_id < {c}
+),
+scored AS (
+    SELECT b.vec_id, b.vec, b.norm, c.centroid_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                                             i -> b.vec[i] * c.cvec[i]), 'sum')
+                                       / (b.norm * c.cnorm), 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, vec, norm, centroid_id FROM scored WHERE rn = 1
+),
+dup_ids AS (
+    SELECT DISTINCT a.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+    WHERE round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                               i -> a.vec[i] * b.vec[i]), 'sum')
+                / (a.norm * b.norm), 6) >= {thr}
+)
+SELECT a.vec_id, a.centroid_id, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dup_ids d ON a.vec_id = d.vec_id
 """
 
 # Oracle for the index LIFECYCLE gate: the index is built from the

@@ -1377,6 +1377,20 @@ def q_ann_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup",
+    ann.SEMANTIC_DEDUP_SQL.format(c=ann.N_CENTROIDS, thr=0.35),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style clustered semantic dedup (Abbas et al. 2023):
+    IVF-cluster the embeddings, compare only within clusters, keep the
+    lowest-id member of every cosine>=0.35 duplicate group. The scale
+    path is the centroid_id equi-join — never an all-pairs product."""
+    return ann.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query(
     "binaryfile_pdf_parse",
     f"""
 SELECT doc_id, ord, kind, text, media_ref FROM (
@@ -1458,7 +1472,7 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          three new gates, then every entry whose implementation files
 #          were touched this round;
 #   21-50  the stable remainder of the suite;
-#   51-58  rotated out this round. Each tail entry is (a) green in BOTH
+#   51+    rotated out this round. Each tail entry is (a) green in BOTH
 #          CORRECTNESS_r01 and r02, (b) implemented by files untouched
 #          this round, and (c) semantically covered by an in-cap
 #          sibling: pdf_split ⊂ pdf_split_parse (split+parse+merge),
@@ -1480,6 +1494,8 @@ REGISTRY_ORDER = [
     "ann_cosine_topk",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
+    "semantic_dedup",
+    "dedup_embedding_cosine",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "ann_ivf_lifecycle",
@@ -1500,7 +1516,6 @@ REGISTRY_ORDER = [
     "layout_text_blocks",
     # — stable suite —
     "spanize",
-    "extract_spans",
     "html_parse",
     "table_cell_tagging",
     "layout_batch_plan",
@@ -1523,12 +1538,16 @@ REGISTRY_ORDER = [
     "stream_extract",
     "stream_dedup_exact",
     "media_features",
-    "dedup_embedding_cosine",
     "events_windowed",
     "events_sessionize",
     "stream_stateful_sessions",
     "events_asof_join",
     # — rotated out this round (green r1+r2, untouched, sibling-covered) —
+    # extract_spans: identical output contract to in-cap stream_extract
+    # (same oracle SQL, same 3,286 rows — the streaming gate runs the
+    # batch extract chain per micro-batch), and parser_output assembles
+    # the same chain end-to-end in-cap.
+    "extract_spans",
     "media_features_jpeg",
     "pdf_split",
     "minhash_jaccard_estimate",

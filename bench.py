@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
+    "semantic_dedup",
     "dedup_embedding_cosine",
     "layout_batch_plan",
     "layout_text_blocks",

@@ -46,3 +46,76 @@ def test_ivf_index_save_load_query_parity(spark, tmp_path):
     )
     assert "PartitionFilters" in plan and "centroid_id" in plan, plan
     assert probe.count() > 0
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    """SemDeDup semantics on a hand-built corpus: near-identical vectors
+    land in one cluster and only the lowest vec_id survives; distinct
+    directions all survive. (The kept-despite-co-clustering path is
+    exercised by the sf0.01 oracle gate, where most within-cluster
+    cosines sit below the threshold.)"""
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.operators import ann
+
+    rows = [
+        # 8 codebook rows (vec_id < N_CENTROIDS): spread directions
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.0, -1.0, 0.0]),
+        (5, [0.0, 0.0, -1.0]),
+        (6, [1.0, 1.0, 0.0]),
+        (7, [1.0, 0.0, 1.0]),
+        # a duplicate group near +x: 100 dups 0, 101 dups both
+        (100, [0.99, 0.01, 0.0]),
+        (101, [0.98, 0.02, 0.0]),
+        # near +y but nearly orthogonal to everything in its dup radius
+        (200, [0.01, 0.99, 0.02]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["keep"])
+        for r in ann.semantic_dedup(emb, threshold=0.35).collect()
+    }
+    release_all()
+    assert len(got) == len(rows)
+    # 100/101 cluster with centroid 0 and duplicate it: dropped
+    assert got[100] == (0, False)
+    assert got[101] == (0, False)
+    # the codebook rows are their own lowest-id representatives
+    assert got[0] == (0, True)
+    # 200 clusters with +y (centroid 1) and duplicates it: dropped;
+    # centroid 1 itself survives as the group representative
+    assert got[200][0] == 1 and got[200][1] is False
+    assert got[1] == (1, True)
+
+
+def test_semantic_dedup_plan_is_equi_join(spark):
+    """The within-cluster compare must shuffle on centroid_id (sort-merge
+    or hash equi-join) — never a cartesian / broadcast-nested-loop."""
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.operators import ann
+    from azure_pdf_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    df = ann.semantic_dedup(emb)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    release_all()
+    assert "CartesianProduct" not in plan, plan
+    # the only BroadcastNestedLoopJoin allowed is the tiny-codebook
+    # assignment (ivf_assign); the pair-generation join keys on centroid_id.
+    # Count DISTINCT node ids — the persisted `assigned` subtree (and its
+    # single BNLJ) is printed at each of its three reuse sites.
+    import re
+
+    bnlj_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj_ids) <= 1, plan
+    # and the pair-generation join itself is an equi-join on centroid_id
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) Inner", plan
+    ), plan
