@@ -529,6 +529,138 @@ LIMIT {k}
 """
 
 
+# A token that contains at least one ASCII letter, matched directly on
+# the space-joined text (tokens are single-space separated, so the
+# leading `(?:^| )` anchor consumes at most the separator and the scan
+# stays non-overlapping). No \b — Java's is Unicode-aware where
+# RE2/DuckDB's is ASCII (see module header), this pattern is identical
+# in both engines.
+ALPHA_WORD_PATTERN = "(?:^| )[^ ]*[A-Za-z][^ ]*"
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 subset
+# expressible over single-space-joined text — the line/bullet rules
+# need raw line structure the corpus schema doesn't carry).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MAX_TOP_BIGRAM_RATIO = 0.18
+
+
+def gopher_filter(documents: "DataFrame") -> "DataFrame":  # noqa: F821
+    """Per-doc keep/drop decision under the Gopher quality rules, with
+    one boolean column per rule so downstream can audit WHY a doc was
+    dropped (the standard shape for a training-data filter stage).
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    >=2 stopword hits; >=80% of words contain an ASCII letter; top
+    word-bigram share <= 0.18 (from :func:`repetition_stats`).
+    NULL signals (empty/NULL text) fail their rule — ``keep`` is never
+    NULL.
+
+    Plan shape: every per-doc signal except the bigram share is a
+    map-only lambda-free projection (whole-stage codegen, CSE across
+    the shared token split); the bigram share reuses the
+    repetition_stats aggregate (explode -> two doc_id-keyed groupBys
+    with map-side partials) and joins back on the uniform doc_id key —
+    two shuffles total at any scale, no driver-side work.
+    """
+    c = F.col("text")
+    n_chars = F.length(c)
+    n_tokens = token_count_expr(c)
+    denom = F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    stop_hits = (
+        _score(c, "de") + _score(c, "en") + _score(c, "es") + _score(c, "fr")
+    )
+    alpha_words = F.size(F.regexp_extract_all(c, F.lit(ALPHA_WORD_PATTERN), 0))
+    sig = documents.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round((n_chars - (n_tokens - 1)) / denom, 6).alias("avg_token_len"),
+        stop_hits.alias("stop_hits"),
+        F.round(alpha_words / denom, 6).alias("alpha_ratio"),
+    )
+    rep = repetition_stats(documents).select("doc_id", "top_bigram_ratio")
+    j = sig.join(rep, "doc_id", "left")
+
+    def rule(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    rules = {
+        "ok_word_count": rule(
+            F.col("n_tokens").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        ),
+        "ok_avg_word_len": rule(
+            F.col("avg_token_len").between(
+                GOPHER_MIN_AVG_WORD_LEN, GOPHER_MAX_AVG_WORD_LEN
+            )
+        ),
+        "ok_stopwords": rule(F.col("stop_hits") >= GOPHER_MIN_STOPWORDS),
+        "ok_alpha": rule(F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO),
+        "ok_repetition": rule(
+            F.col("top_bigram_ratio") <= GOPHER_MAX_TOP_BIGRAM_RATIO
+        ),
+    }
+    staged = j.select(
+        "doc_id", "n_tokens", *[c_.alias(n) for n, c_ in rules.items()]
+    )
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        *rules.keys(),
+        keep.alias("keep"),
+    )
+
+
+def _gopher_sql() -> str:
+    """DuckDB mirror of :func:`gopher_filter` (module-level constant
+    GOPHER_FILTER_SQL holds the rendered form)."""
+    t = "text"
+    n_tokens = TOKEN_COUNT_SQL.format(t=t)
+    stops = " + ".join(
+        f"len(regexp_extract_all(regexp_replace({t}, '[^ -~]', ' ', 'g'), "
+        f"'\\b({'|'.join(words)})\\b', 1))"
+        for words in LANG_STOPWORDS.values()
+    )
+    grams = REPETITION_STATS_SQL.split("grams AS (", 1)[1].rsplit(")\nSELECT", 1)[0]
+    return f"""
+WITH grams AS ({grams}),
+rep AS (
+    SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_ratio
+    FROM grams GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id,
+           CAST({n_tokens} AS BIGINT) AS n_tokens,
+           round((length({t}) - ({n_tokens} - 1)) / nullif(CAST({n_tokens} AS DOUBLE), 0), 6) AS avg_token_len,
+           ({stops}) AS stop_hits,
+           round(len(regexp_extract_all({t}, '{ALPHA_WORD_PATTERN}')) / nullif(CAST({n_tokens} AS DOUBLE), 0), 6) AS alpha_ratio
+    FROM documents
+)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(s.n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}, FALSE) AS ok_word_count,
+       coalesce(s.avg_token_len BETWEEN {GOPHER_MIN_AVG_WORD_LEN} AND {GOPHER_MAX_AVG_WORD_LEN}, FALSE) AS ok_avg_word_len,
+       coalesce(s.stop_hits >= {GOPHER_MIN_STOPWORDS}, FALSE) AS ok_stopwords,
+       coalesce(s.alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}, FALSE) AS ok_alpha,
+       coalesce(r.top_bigram_ratio <= {GOPHER_MAX_TOP_BIGRAM_RATIO}, FALSE) AS ok_repetition,
+       (coalesce(s.n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}, FALSE)
+        AND coalesce(s.avg_token_len BETWEEN {GOPHER_MIN_AVG_WORD_LEN} AND {GOPHER_MAX_AVG_WORD_LEN}, FALSE)
+        AND coalesce(s.stop_hits >= {GOPHER_MIN_STOPWORDS}, FALSE)
+        AND coalesce(s.alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}, FALSE)
+        AND coalesce(r.top_bigram_ratio <= {GOPHER_MAX_TOP_BIGRAM_RATIO}, FALSE)) AS keep
+FROM sig s LEFT JOIN rep r ON s.doc_id = r.doc_id
+"""
+
+
+GOPHER_FILTER_SQL = _gopher_sql()
+
+
 def quality_sql() -> dict[str, str]:
     """DuckDB equivalents of :func:`quality_exprs` over column ``text``."""
     t = "text"

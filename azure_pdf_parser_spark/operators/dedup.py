@@ -805,3 +805,154 @@ SELECT doc.doc_id,
 FROM documents doc LEFT JOIN minreach mr ON doc.doc_id = mr.doc_id
 """
 )
+
+
+# --- cross-document duplicated passages --------------------------------------
+
+# Passage granularity: a duplicated region is detected as a run of
+# overlapping/adjacent 5-word shingles that each occur in >= 2 distinct
+# documents — the shingle-granular approximation of exact substring
+# dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better": their suffix-array pass finds >= 50-char exact
+# repeats; at cluster scale the shingle/island formulation is the
+# shuffle-friendly equivalent).
+PASSAGE_WORDS = 5
+
+
+def duplicate_passages(
+    documents: DataFrame, k: int = PASSAGE_WORDS
+) -> DataFrame:
+    """(doc_id, start_word, end_word, n_words, passage): maximal word
+    ranges of cross-document duplicated text.
+
+    A position contributes when its ``k``-word shingle occurs in >= 2
+    DISTINCT documents; overlapping or exactly-adjacent contributing
+    ranges merge into one passage (gaps-and-islands over a per-doc
+    window). Docs shorter than ``k`` words cannot carry a passage at
+    this granularity and are skipped.
+
+    Scale shape — deliberately NO document-frequency cap and NO pair
+    join: boilerplate (the hottest shingles) is exactly the signal
+    here, and every stage stays linear in the number of occurrences:
+
+    * df count: distinct (h, doc_id) shuffles on the COMPOSITE key, so
+      a shingle in 10^6 docs spreads over the whole cluster before the
+      groupBy(h) partials collapse it;
+    * membership: LEFT SEMI join occurrence->dup-set — each occurrence
+      row emits at most one row, never the d(d-1)/2 blowup a pair join
+      would;
+    * islands: lag + running-sum windows over (doc_id, pos) — one
+      doc_id-keyed shuffle; the groupBy(doc_id, island) and the final
+      text join reuse that partitioning (subset-key clustering).
+
+    The 16-hex-char md5 prefix join key is mirrored verbatim in the
+    DuckDB oracle, so any (astronomically unlikely) collision yields
+    identical output in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split("text", " ")
+    n = F.size(words)
+    arr = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    sh = (
+        documents.where(n >= k)
+        .select("doc_id", F.posexplode_outer(arr).alias("pos", "shingle"))
+        .where(F.col("shingle").isNotNull())
+        .select(
+            "doc_id", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h")
+        )
+    )
+    sh = tracked_persist(sh)
+    dup = (
+        sh.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lag_pos = F.lag("pos").over(w)
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        F.when(lag_pos.isNull() | (F.col("pos") - lag_pos > k), 1)
+        .otherwise(0)
+        .alias("flag"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("flag")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start_word"),
+        (F.max("pos") + F.lit(k - 1)).alias("end_word"),
+    )
+    n_words = F.col("end_word") - F.col("start_word") + 1
+    return (
+        merged.join(documents.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("start_word").cast("int").alias("start_word"),
+            F.col("end_word").cast("int").alias("end_word"),
+            n_words.cast("int").alias("n_words"),
+            F.array_join(
+                F.slice(
+                    F.split("text", " "), F.col("start_word") + 1, n_words
+                ),
+                " ",
+            ).alias("passage"),
+        )
+    )
+
+
+DUPLICATE_PASSAGES_SQL = """
+WITH pos_sh AS (
+    SELECT d.doc_id, t.i AS pos,
+           substr(md5(array_to_string(list_slice(w.words, t.i + 1, t.i + {k}), ' ')), 1, 16) AS h
+    FROM documents d
+    CROSS JOIN LATERAL (SELECT string_split(d.text, ' ') AS words) w
+    CROSS JOIN LATERAL (
+        SELECT UNNEST(range(CAST(len(w.words) - {k} + 1 AS BIGINT))) AS i
+    ) t
+    WHERE len(w.words) >= {k}
+),
+dup AS (
+    SELECT h FROM (SELECT DISTINCT h, doc_id FROM pos_sh)
+    GROUP BY h HAVING count(*) >= 2
+),
+hits AS (
+    SELECT p.doc_id, p.pos FROM pos_sh p JOIN dup USING (h)
+),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+                THEN 1 ELSE 0 END AS flag
+    FROM hits
+),
+islands AS (
+    SELECT doc_id, pos,
+           sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+merged AS (
+    SELECT doc_id, min(pos) AS start_word, max(pos) + {k} - 1 AS end_word
+    FROM islands GROUP BY doc_id, island
+)
+SELECT m.doc_id,
+       CAST(m.start_word AS INT) AS start_word,
+       CAST(m.end_word AS INT) AS end_word,
+       CAST(m.end_word - m.start_word + 1 AS INT) AS n_words,
+       array_to_string(list_slice(string_split(d.text, ' '),
+                                  m.start_word + 1, m.end_word + 1), ' ') AS passage
+FROM merged m JOIN documents d USING (doc_id)
+"""

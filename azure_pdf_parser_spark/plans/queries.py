@@ -662,6 +662,16 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.repetition_stats(_docs(spark, sf_dir))
 
 
+@query("gopher_filter", text_fns.GOPHER_FILTER_SQL)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule keep/drop decision per doc (Rae et al. 2021):
+    word count, mean word length, stopword presence, alpha-word ratio,
+    top-bigram share — one audit boolean per rule plus the combined
+    ``keep``. Map-only codegen signals + the repetition aggregate
+    joined on the uniform doc_id key: two shuffles at any scale."""
+    return text_fns.gopher_filter(_docs(spark, sf_dir))
+
+
 @query("vocab_topk", text_fns.VOCAB_TOPK_SQL.format(k=100))
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary building: global token counts, deterministic
@@ -898,6 +908,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("fingerprint_winnow", dedup.WINNOW_SQL)
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+@query(
+    "duplicate_passages",
+    dedup.DUPLICATE_PASSAGES_SQL.format(k=dedup.PASSAGE_WORDS),
+)
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated passages: runs of 5-word shingles each
+    occurring in >=2 distinct docs, merged gaps-and-islands style into
+    maximal word ranges — the shingle-granular, shuffle-friendly analog
+    of suffix-array exact substring dedup (Lee et al. 2022). Scale
+    path: distinct-composite-key df count + LEFT SEMI membership join;
+    no pair join, no df cap needed."""
+    return dedup.duplicate_passages(_docs(spark, sf_dir))
 
 
 @query(
@@ -1495,6 +1519,8 @@ REGISTRY_ORDER = [
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "semantic_dedup",
+    "gopher_filter",
+    "duplicate_passages",
     "dedup_embedding_cosine",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -1518,7 +1544,6 @@ REGISTRY_ORDER = [
     "spanize",
     "html_parse",
     "table_cell_tagging",
-    "layout_batch_plan",
     "layout_page_metadata",
     "layout_table_blocks",
     "layout_coord_flip",
@@ -1540,9 +1565,17 @@ REGISTRY_ORDER = [
     "media_features",
     "events_windowed",
     "events_sessionize",
-    "stream_stateful_sessions",
     "events_asof_join",
     # — rotated out this round (green r1+r2, untouched, sibling-covered) —
+    # layout_batch_plan: O1 batch-boundary math exercised end-to-end by
+    # in-cap pdf_split_parse (byte-level split + parse + ordered merge)
+    # and by layout_text_blocks (O3 propagation over the same batches).
+    "layout_batch_plan",
+    # stream_stateful_sessions: session-assignment semantics gated by
+    # in-cap events_sessionize; the streaming plumbing stays gated via
+    # stream_extract / stream_dedup_exact; EventTimeTimeout expiry is
+    # pinned by tests/test_stateful_streaming.py.
+    "stream_stateful_sessions",
     # extract_spans: identical output contract to in-cap stream_extract
     # (same oracle SQL, same 3,286 rows — the streaming gate runs the
     # batch extract chain per micro-batch), and parser_output assembles

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_neardup_clusters",
+    "duplicate_passages",
+    "gopher_filter",
     "decontaminate",
     "pii_scrub",
     "lm_surprisal",
@@ -195,6 +197,8 @@ EAGER_BUILD = {
     "dedup_simhash_pairs",      # persists sims + distinct fingerprints
     "ann_ivf_topk",             # persists the IVF assignment
     "lm_surprisal",             # persists the vocab model
+    "semantic_dedup",           # persists the IVF assignment
+    "duplicate_passages",       # persists the positional shingle table
 }
 
 
