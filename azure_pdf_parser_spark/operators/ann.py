@@ -344,6 +344,41 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     )
 
 
+def ivf_recall_at_k(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """One-row recall report for the IVF tier against the exact
+    baseline: (n_vectors, mean_recall, min_recall).
+
+    Per-vector recall = |ivf_topk ∩ cosine_topk| / |cosine_topk| (the
+    exact set can be smaller than k on tiny corpora). The measurement
+    harness an ANN deployment needs before trusting the approximate
+    tier — run it on a SAMPLE at production scale (cosine_topk refuses
+    > EXACT_TOPK_MAX_ROWS inputs by design, so a misrouted full-corpus
+    call fails loudly rather than running the O(n²) baseline).
+
+    Both rankers share the deterministic (cosine DESC, neighbor_id ASC)
+    tie-break, so recall is stable across partitionings and engines.
+    """
+    exact = cosine_topk(embeddings, k).select("vec_id", "neighbor_id")
+    approx = ivf_topk(embeddings, k).select("vec_id", "neighbor_id")
+    ex_counts = exact.groupBy("vec_id").agg(F.count("*").alias("n_exact"))
+    hit_counts = (
+        exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    recall = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact").cast(
+        "double"
+    )
+    per_vec = ex_counts.join(hit_counts, "vec_id", "left").select(
+        recall.alias("recall")
+    )
+    return per_vec.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.35
 ) -> DataFrame:
@@ -465,6 +500,63 @@ ranked AS (
     FROM pairs
 )
 SELECT vec_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+IVF_RECALL_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS centroid_id, vec AS cvec, norm AS cnorm FROM base WHERE vec_id < {c}
+),
+scored AS (
+    SELECT b.vec_id, b.vec, b.norm, c.centroid_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                                             i -> b.vec[i] * c.cvec[i]), 'sum')
+                                       / (b.norm * c.cnorm), 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, vec, norm, centroid_id FROM scored WHERE rn = 1
+),
+ivf_ranked AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                                             i -> a.vec[i] * b.vec[i]), 'sum')
+                                       / (a.norm * b.norm), 6) DESC,
+                                       b.vec_id ASC) AS rank
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+),
+approx AS (SELECT vec_id, neighbor_id FROM ivf_ranked WHERE rank <= {k}),
+ex_ranked AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                                             i -> a.vec[i] * b.vec[i]), 'sum')
+                                       / (a.norm * b.norm), 6) DESC,
+                                       b.vec_id ASC) AS rank
+    FROM base a JOIN base b ON a.vec_id <> b.vec_id
+),
+exact AS (SELECT vec_id, neighbor_id FROM ex_ranked WHERE rank <= {k}),
+per_vec AS (
+    SELECT e.vec_id,
+           count(*) AS n_exact,
+           count(a.neighbor_id) AS n_hit
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.vec_id = a.vec_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(n_hit / CAST(n_exact AS DOUBLE)), 6) AS mean_recall,
+       round(min(n_hit / CAST(n_exact AS DOUBLE)), 6) AS min_recall
+FROM per_vec
 """
 
 SEMANTIC_DEDUP_SQL = """

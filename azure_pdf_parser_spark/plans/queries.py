@@ -23,7 +23,13 @@ from azure_pdf_parser_spark.functions.text import (
 )
 from azure_pdf_parser_spark.functions import text as text_fns
 from azure_pdf_parser_spark.functions import scrub as scrub_fns
-from azure_pdf_parser_spark.operators import ann, contamination, dedup, extract_spans
+from azure_pdf_parser_spark.operators import (
+    ann,
+    contamination,
+    curation,
+    dedup,
+    extract_spans,
+)
 from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import packing, sampling
 from azure_pdf_parser_spark.operators import events as events_ops
@@ -660,6 +666,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals: word-bigram counts and
     the top bigram's share per doc (high share ⇒ spam/boilerplate)."""
     return text_fns.repetition_stats(_docs(spark, sf_dir))
+
+
+@query("corpus_curation", curation.CURATE_CORPUS_SQL)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision: Gopher quality rules, then exact
+    dedup to the lowest-id canonical representative; per-doc keep
+    verdict + first rejecting stage ('quality' | 'duplicate')."""
+    return curation.curate_corpus(_docs(spark, sf_dir))
 
 
 @query("gopher_filter", text_fns.GOPHER_FILTER_SQL)
@@ -1401,6 +1415,19 @@ def q_ann_ivf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_recall",
+    ann.IVF_RECALL_SQL.format(c=ann.N_CENTROIDS, k=5),
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF tier vs the exact cosine baseline — the
+    measurement harness that justifies trusting the approximate tier;
+    one-row (n_vectors, mean_recall, min_recall) report."""
+    return ann.ivf_recall_at_k(
+        load_table(spark, sf_dir, "embeddings"), k=5
+    )
+
+
+@query(
     "semantic_dedup",
     ann.SEMANTIC_DEDUP_SQL.format(c=ann.N_CENTROIDS, thr=0.35),
 )
@@ -1519,8 +1546,10 @@ REGISTRY_ORDER = [
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "semantic_dedup",
+    "ann_ivf_recall",
     "gopher_filter",
     "duplicate_passages",
+    "corpus_curation",
     "dedup_embedding_cosine",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -1550,13 +1579,11 @@ REGISTRY_ORDER = [
     "reading_order",
     "layout_quarantine",
     "quality_scores",
-    "repetition_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_exact_clusters",
     "decontaminate",
-    "pii_scrub",
     "tfidf_top_terms",
     "dedup_neardup_clusters",
     "fingerprint_winnow",
@@ -1576,6 +1603,14 @@ REGISTRY_ORDER = [
     # stream_extract / stream_dedup_exact; EventTimeTimeout expiry is
     # pinned by tests/test_stateful_streaming.py.
     "stream_stateful_sessions",
+    # repetition_stats: its exact bigram aggregate (same grams CTE on
+    # the oracle side) runs INSIDE the in-cap gopher_filter and
+    # corpus_curation gates every round.
+    "repetition_stats",
+    # pii_scrub: scrub.py untouched since r2; pure map-only regexp path
+    # (plan-pinned by tests/test_physical_plans.py), regexp machinery
+    # exercised in-cap by quality_scores / langid / gopher_filter.
+    "pii_scrub",
     # extract_spans: identical output contract to in-cap stream_extract
     # (same oracle SQL, same 3,286 rows — the streaming gate runs the
     # batch extract chain per micro-batch), and parser_output assembles

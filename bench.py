@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_neardup_clusters",
     "duplicate_passages",
     "gopher_filter",
+    "corpus_curation",
     "decontaminate",
     "pii_scrub",
     "lm_surprisal",
@@ -103,6 +104,11 @@ EXCLUDED_QUERIES = {
         "O(n^2) exact correctness baseline; refuses large inputs by "
         "design (EXACT_TOPK_MAX_ROWS) — lsh/ivf tiers are the benched "
         "scale paths"
+    ),
+    "ann_ivf_recall": (
+        "evaluation harness containing the O(n^2) exact baseline; "
+        "meant for bounded samples — the production plan it scores is "
+        "the benched ann_ivf_topk"
     ),
     "stream_extract": (
         "streaming gate: wall-clock is dominated by availableNow "

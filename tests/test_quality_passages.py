@@ -140,3 +140,52 @@ def test_duplicate_passages_plan_semi_join_no_pairs(spark):
         re.findall(r"\((\d+)\) \w*(?:HashJoin|SortMergeJoin) Inner", plan)
     )
     assert len(inner_ids) <= 1, plan
+
+
+def test_corpus_curation_reason_precedence(spark):
+    """quality rejection wins over duplicate; exact dups keep only the
+    lowest doc_id; keep/reason are never NULL-inconsistent."""
+    from azure_pdf_parser_spark.operators.curation import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "back home with some friends to share a warm meal of bread "
+        "and cheese before the evening rain begins to fall softly "
+        "on the quiet village roofs while children play games near "
+        "the old stone bridge by the river"
+    )
+    rows = [
+        (1, good),           # canonical + quality: kept
+        (2, good),           # exact dup of 1: dropped as duplicate
+        (3, "too short"),    # fails quality
+        (4, "too short"),    # fails quality AND is a dup: reason=quality
+        (5, None),           # NULL text: quality, vacuously canonical
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in curate_corpus(_mkdocs(spark, rows)).collect()
+    }
+    assert got[1]["keep"] is True and got[1]["reason"] is None
+    assert got[2]["keep"] is False and got[2]["reason"] == "duplicate"
+    assert got[3]["reason"] == "quality"
+    # doc 4 is both low-quality and a duplicate of 3 -> quality wins
+    assert got[4]["reason"] == "quality" and got[4]["is_canonical"] is False
+    assert got[5]["reason"] == "quality" and got[5]["is_canonical"] is True
+    for r in got.values():
+        assert isinstance(r["keep"], bool)
+
+
+def test_ivf_recall_bounds(spark):
+    """Recall is 1.0 when every vector's true neighbors share its
+    cluster, and the report shape is one row with sane bounds."""
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.operators.ann import ivf_recall_at_k
+    from azure_pdf_parser_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = ivf_recall_at_k(emb, k=5).collect()
+    release_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_vectors"] > 0
+    assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
