@@ -75,6 +75,119 @@ def decontaminate(
     )
 
 
+BLOOM_N_BITS = 1 << 17  # 128 Ki bits = 2 Ki longs; size ~16 bits/shingle
+BLOOM_N_HASHES = 5
+
+
+def _bloom_positions(n_bits: int) -> list[Column]:
+    """k independent bit positions for column ``shingle``.
+
+    Each position is its own ``xxhash64(shingle, i)`` masked to the
+    (power-of-two) table size — k separate hashes instead of the usual
+    h1 + i*h2 double hashing because the latter's multiply-add can
+    overflow int64, which ANSI mode (Spark 4 default) turns into a
+    runtime error. Masking with a positive constant always yields a
+    non-negative position, even for negative hash values.
+    """
+    mask = n_bits - 1
+    return [
+        F.xxhash64(F.col("shingle"), F.lit(i)).bitwiseAND(F.lit(mask))
+        for i in range(BLOOM_N_HASHES)
+    ]
+
+
+def build_bloom(benchmark: DataFrame, n_words: int, n_bits: int) -> DataFrame:
+    """ONE row ``(bloom: array<long>)`` — a Bloom filter over the
+    benchmark's distinct shingles, packed 64 bits per element.
+
+    Built entirely JVM-side: shingle → k positions (explode) → 64-bit
+    word index → ``bit_or`` per word → single-row densify via
+    ``sequence``/``element_at``. The single shuffle moves ≤ n_bits/64
+    ``(word, bits)`` rows; nothing is ever collected to the driver.
+    """
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+    grams = word_ngrams(benchmark, [], n_words).distinct()
+    packed = (
+        grams.select(
+            F.explode(F.array(*_bloom_positions(n_bits))).alias("pos")
+        )
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return packed.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("words")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bits // 64 - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("words"), i), F.lit(0).cast("long")
+            ),
+        ).alias("bloom")
+    )
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n_words: int = DECON_NGRAM_WORDS,
+    min_overlap: int = 1,
+    n_bits: int = BLOOM_N_BITS,
+) -> DataFrame:
+    """Same exact output as :func:`decontaminate`, via a Bloom pre-filter.
+
+    Scale motivation: at 100 TB the corpus side explodes to O(10¹³)
+    shingles, and even a broadcast-hash semi-probe pays the benchmark
+    hash table's memory on every task. The Bloom sketch is n_bits/8
+    bytes TOTAL (16 KiB at the default) regardless of benchmark size —
+    it rides into every task as a one-row broadcast nested-loop join,
+    and the bit tests are pure codegen arithmetic. Only the tiny
+    surviving fraction (true overlaps + ~0.05% false positives at
+    16 bits/shingle) reaches the exact confirm join, so the final
+    result is EXACT — the sketch only prunes, never decides.
+    """
+    bloom = F.broadcast(build_bloom(benchmark, n_words, n_bits))
+    doc_grams = word_ngrams(documents, ["doc_id"], n_words)
+    probed = doc_grams.crossJoin(bloom)
+    # stage the k positions as real columns (multi-referenced leaves
+    # survive CollapseProject; inlined copies would defeat codegen CSE)
+    for i, pos in enumerate(_bloom_positions(n_bits)):
+        probed = probed.withColumn(f"_p{i}", pos)
+    hit = None
+    for i in range(BLOOM_N_HASHES):
+        test = F.expr(
+            f"(element_at(bloom, CAST(shiftright(_p{i}, 6) AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT)))"
+            " != 0"
+        )
+        hit = test if hit is None else hit & test
+    survivors = probed.where(hit).select("doc_id", "shingle")
+    bench_grams = F.broadcast(word_ngrams(benchmark, [], n_words).distinct())
+    overlap = (
+        survivors.join(bench_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def _ngram_cte(source_sql: str, id_select: str, n: int) -> str:
     return f"""
     SELECT DISTINCT {id_select} shingle FROM (

@@ -806,6 +806,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, benchmark)
 
 
+@query("decontaminate_bloom", contamination.DECONTAMINATE_SQL)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: identical EXACT output to
+    ``decontaminate`` (same oracle SQL), but the corpus side is pruned
+    by a 16 KiB broadcast bit-array sketch before the confirm join —
+    the shape that holds when the eval suite no longer fits a broadcast
+    hash table in every task."""
+    from azure_pdf_parser_spark.operators.contamination import (
+        BENCHMARK_MOD,
+        decontaminate_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") % BENCHMARK_MOD == 0).select("text")
+    return decontaminate_bloom(docs, benchmark)
+
+
 _PII_SEED_SQL = """
 seeded AS (
     SELECT doc_id,
@@ -1556,6 +1573,7 @@ REGISTRY_ORDER = [
     "ann_ivf_lifecycle",
     "pdf_media_features",
     "binaryfile_pdf_parse",
+    "decontaminate_bloom",
     "lm_surprisal",
     "pack_sequences",
     "dedup_simhash",

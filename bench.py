@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "gopher_filter",
     "corpus_curation",
     "decontaminate",
+    "decontaminate_bloom",
     "pii_scrub",
     "lm_surprisal",
     "tfidf_top_terms",

@@ -215,6 +215,75 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "CartesianProduct" not in nodes and "BroadcastNestedLoopJoin" not in nodes
 
 
+def test_decontaminate_bloom_probe_shape(spark):
+    """The Bloom sketch rides in as a ONE-row broadcast nested-loop
+    join (16 KiB, size-independent of the benchmark); the corpus side
+    must not sort-merge, and the only hash joins are broadcasts (the
+    exact confirm on survivors + the final doc left join)."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    nodes = _nodes(_plan(QUERIES["decontaminate_bloom"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" in nodes, nodes
+    assert "SortMergeJoin" not in nodes, nodes
+    assert "CartesianProduct" not in nodes, nodes
+
+
+def test_bloom_prunes_most_clean_shingles(spark):
+    """The sketch must actually prune: survivors of the bit tests are a
+    small fraction of the corpus shingle universe (true overlaps + the
+    designed ~0.05% false-positive rate), and every truly contaminated
+    doc's shingles survive (no false negatives, by construction)."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.operators.contamination import (
+        BLOOM_N_BITS,
+        DECON_NGRAM_WORDS,
+        build_bloom,
+        decontaminate,
+        decontaminate_bloom,
+        word_ngrams,
+        _bloom_positions,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    benchmark = docs.where(F.col("doc_id") % 37 == 0).select("text")
+
+    # exact output parity (the oracle gate also checks this vs DuckDB)
+    exact = decontaminate(docs, benchmark).orderBy("doc_id").collect()
+    bloom = decontaminate_bloom(docs, benchmark).orderBy("doc_id").collect()
+    assert exact == bloom
+
+    # pruning power: count bloom-survivor shingles vs the universe
+    sketch = F.broadcast(build_bloom(benchmark, DECON_NGRAM_WORDS, BLOOM_N_BITS))
+    grams = word_ngrams(docs, ["doc_id"], DECON_NGRAM_WORDS)
+    probed = grams.crossJoin(sketch)
+    for i, pos in enumerate(_bloom_positions(BLOOM_N_BITS)):
+        probed = probed.withColumn(f"_p{i}", pos)
+    hit = None
+    for i in range(5):
+        test = F.expr(
+            f"(element_at(bloom, CAST(shiftright(_p{i}, 6) AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))) != 0"
+        )
+        hit = test if hit is None else hit & test
+    n_universe = grams.count()
+    n_survivors = probed.where(hit).count()
+    n_true = (
+        grams.join(
+            word_ngrams(benchmark, [], DECON_NGRAM_WORDS).distinct(), "shingle"
+        ).count()
+    )
+    assert n_survivors >= n_true  # no false negatives
+    # false positives are bounded well under 1% at 16 bits/shingle
+    assert n_survivors - n_true < max(0.01 * n_universe, 10), (
+        n_survivors,
+        n_true,
+        n_universe,
+    )
+
+
 def test_sample_splits_is_map_only(spark):
     """Split assignment must fuse into the scan — no Exchange."""
     from azure_pdf_parser_spark.plans.queries import QUERIES
