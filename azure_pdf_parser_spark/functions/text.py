@@ -240,49 +240,69 @@ def _script_pattern(lang: str) -> str:
     return f"[{lo}-{hi}]"
 
 
-def _combined_word_pattern() -> str:
-    """ONE regex matching any profile's stopword as a space-surrounded
-    token of the prepared text. At a given start position only the
-    alternative equal to the actual token can complete (the trailing
-    '[ ]' rejects prefixes), so the match set is identical under Java's
-    leftmost-first and RE2's alternation semantics."""
-    all_words = sorted(
-        {w for kind, payload in LANG_PROFILES.values() if kind == "words" for w in payload}
-    )
-    return "[ ](?:" + "|".join(all_words) + ")[ ]"
+def _sample_expr(text: Column) -> Column:
+    return F.substring(text, 1, LANGID_SAMPLE_CHARS)
 
 
-def _prepared_expr(text: Column) -> Column:
-    sample = F.substring(text, 1, LANGID_SAMPLE_CHARS)
+def _tokens_expr(sample: Column) -> Column:
+    """Token array of the cleaned sample: non-letters → space, split on
+    single spaces. Empty-string tokens (from space runs) survive the
+    split but can never equal a profile word, so they are harmless —
+    and both mirrors produce them identically. This replaces the old
+    doubled-space mega-alternation regex scan (230 stopword
+    alternatives × every position of the prepared text dominated the
+    detector after the script-scan fix); one cleaning pass + one split
+    is the whole tokenizer."""
     cleaned = F.regexp_replace(sample, r"[^\p{L} ]", " ")
-    doubled = F.regexp_replace(cleaned, " ", "  ")
-    return F.concat(F.lit(" "), doubled, F.lit(" "))
+    return F.split(cleaned, " ")
 
 
-def _prepared_sql(text_sql: str) -> str:
-    sample = f"substr({text_sql}, 1, {LANGID_SAMPLE_CHARS})"
-    return (
-        f"(' ' || replace(regexp_replace({sample}, '[^\\pL ]', ' ', 'g'),"
-        f" ' ', '  ') || ' ')"
-    )
+NON_LATIN_GUARD = "[^\x00-ͯ]"  # any char above U+036F
 
 
-def _winner_expr(prepared: Column, hits: Column) -> Column:
-    """argmax winner from (prepared, hits) inputs — see language_expr.
-    When ``prepared``/``hits`` are STAGED ATTRIBUTES (with_language), the
-    expensive regex scans are evaluated once per row no matter where
+def _winner_expr(
+    sample: Column, tokens: Column, nonlatin: Column | None = None
+) -> Column:
+    """argmax winner from (sample, tokens) inputs — see language_expr.
+    When ``sample``/``tokens`` are STAGED ATTRIBUTES (with_language),
+    the expensive scans are evaluated once per row no matter where
     Catalyst inlines this combinator tree — even into an array lambda,
-    where only the cheap attribute-fed intersects would re-run."""
+    where only the cheap attribute-fed intersects would re-run.
+
+    Script scores scan the RAW sample with ``regexp_count``: cleaning
+    only turns non-letters into spaces, which a single-letter script
+    range can never match, so counts over sample and cleaned text are
+    provably identical — and regexp_count allocates no per-match array
+    (the round-3 profile: ~22 script regexp_extract_all scans dominated
+    the 59-profile detector's cost). Word scores are set intersections
+    of the token array with each profile's word list — array_intersect
+    dedups, exactly the Python mirror's set-&-set."""
+
+    # Every script/marker profile lives above U+036F (all are non-Latin
+    # blocks; Cyrillic languages use WORD profiles), so one guard scan
+    # proves all 22 script scores are zero for Latin-only text — the
+    # common case — and codegen's lazy If skips the scans entirely.
+    # Value-identical on every input: NULL sample → NULL guard → the
+    # otherwise(0) branch, and 0 scores yield the same NULL winner as
+    # NULL scores (`s > 0` is false for both; struct-ordering puts NULL
+    # first, so array_max still lands on a zero-score struct).
+    # Callers in interpreted (lambda-adjacent) projections must pass a
+    # STAGED guard column (with_language does) — the inline form below
+    # is duplicated once per script profile and only codegen CSE
+    # collapses the copies.
+    if nonlatin is None:
+        nonlatin = F.regexp_count(sample, F.lit(NON_LATIN_GUARD))
 
     def score(lang: str) -> Column:
         kind, payload = LANG_PROFILES[lang]
         if kind in ("script", "marker_script"):
-            n = F.size(
-                F.regexp_extract_all(prepared, F.lit(_script_pattern(lang)), 0)
-            )
+            n = F.when(
+                nonlatin > 0,
+                F.regexp_count(sample, F.lit(_script_pattern(lang))),
+            ).otherwise(F.lit(0))
             return n * MARKER_WEIGHT if kind == "marker_script" else n
         return F.size(
-            F.array_intersect(hits, F.array(*[F.lit(f" {w} ") for w in payload]))
+            F.array_intersect(tokens, F.array(*[F.lit(w) for w in payload]))
         )
 
     ranked = F.array_max(
@@ -314,14 +334,14 @@ def with_language(df, text: Column, out: str):
     CollapseProject, so the regex scans run exactly once per row; only
     the cheap attribute-fed argmax combinators can ever be inlined.
     """
-    pre, hits = f"_{out}_prep", f"_{out}_hits"
-    df = df.withColumn(pre, _prepared_expr(text))
+    smp, toks, nl = f"_{out}_sample", f"_{out}_toks", f"_{out}_nl"
+    df = df.withColumn(smp, _sample_expr(text))
+    df = df.withColumn(toks, _tokens_expr(F.col(smp)))
+    df = df.withColumn(nl, F.regexp_count(F.col(smp), F.lit(NON_LATIN_GUARD)))
     df = df.withColumn(
-        hits,
-        F.regexp_extract_all(F.col(pre), F.lit(_combined_word_pattern()), 0),
+        out, _winner_expr(F.col(smp), F.col(toks), F.col(nl))
     )
-    df = df.withColumn(out, _winner_expr(F.col(pre), F.col(hits)))
-    return df.drop(pre, hits)
+    return df.drop(smp, toks, nl)
 
 
 def language_expr(text: Column | str) -> Column:
@@ -335,11 +355,11 @@ def language_expr(text: Column | str) -> Column:
     consumed through a single-element transform() whose lambda variable
     is a cheap slot reference.
 
-    The word-profile scores share one combined stopword scan (`hits`)
+    The word-profile scores share one cleaned token array (`tokens`)
     and intersect it per language — both subtrees are lambda-free, so
     whole-stage codegen CSE evaluates them once per row even though the
-    hits tree appears once per word profile (see module header for the
-    measured alternatives).
+    tokens tree appears once per word profile (see module header for
+    the measured alternatives).
     """
     # NO lambda anywhere in this tree — higher-order functions are
     # CodegenFallback, and one transform() here drops the WHOLE
@@ -356,9 +376,8 @@ def language_expr(text: Column | str) -> Column:
     # and 0 scores, so each yields NULL — matching the SQL form's
     # empty-subquery NULL.
     c = F.col(text) if isinstance(text, str) else text
-    prepared = _prepared_expr(c)
-    hits = F.regexp_extract_all(prepared, F.lit(_combined_word_pattern()), 0)
-    return _winner_expr(prepared, hits)
+    sample = _sample_expr(c)
+    return _winner_expr(sample, _tokens_expr(sample))
 
 
 def language_sql(text_sql: str) -> str:
@@ -366,16 +385,19 @@ def language_sql(text_sql: str) -> str:
     :func:`language_expr`: a correlated scalar subquery ranking the 29
     (code, score) rows — max score first, code ASC on ties, NULL when
     every score is 0 or NULL (empty subquery → NULL scalar)."""
-    prep = _prepared_sql(text_sql)
-    hits = f"regexp_extract_all({prep}, '{_combined_word_pattern()}')"
+    sample = f"substr({text_sql}, 1, {LANGID_SAMPLE_CHARS})"
+    tokens = (
+        f"string_split(regexp_replace({sample}, '[^\\pL ]', ' ', 'g'), ' ')"
+    )
 
     def score(lang: str) -> str:
         kind, payload = LANG_PROFILES[lang]
         if kind in ("script", "marker_script"):
-            n = f"len(regexp_extract_all({prep}, '{_script_pattern(lang)}'))"
+            # raw sample, not cleaned: identical counts (see _winner_expr)
+            n = f"len(regexp_extract_all({sample}, '{_script_pattern(lang)}'))"
             return f"({n} * {MARKER_WEIGHT})" if kind == "marker_script" else n
-        words = ", ".join(f"' {w} '" for w in payload)
-        return f"len(list_intersect({hits}, [{words}]))"
+        words = ", ".join(f"'{w}'" for w in payload)
+        return f"len(list_intersect({tokens}, [{words}]))"
 
     values = ", ".join(f"('{lang}', {score(lang)})" for lang in LANG_PROFILES)
     return (

@@ -242,6 +242,98 @@ def minhash_lsh_candidates(documents: DataFrame) -> DataFrame:
     )
 
 
+def save_minhash_index(documents: DataFrame, path: str) -> None:
+    """Persist the LSH band table of a corpus as a dedup INDEX.
+
+    Incremental-ingest contract: dedup at 10¹²-doc scale is not
+    re-run over the whole corpus per batch — the historical corpus is
+    indexed ONCE (4 compact band rows per doc) and each new batch
+    probes it. The shingle df-cap universe is the indexed corpus
+    itself. Plain parquet here; a metastore deployment would
+    ``bucketBy(band_hash).sortBy(band_hash).saveAsTable`` so probe
+    joins are shuffle-free on the index side.
+    """
+    lsh_bands(documents).write.mode("overwrite").parquet(path)
+
+
+def load_minhash_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def probe_minhash_index(index_bands: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """(doc_id, dup_of, n_shared_bands): near-dup matches of a NEW batch
+    against an indexed corpus — doc_id is the new doc, dup_of the
+    indexed doc, n_shared_bands the number of colliding LSH bands
+    (1..N_BANDS; more bands ⇒ higher Jaccard, ≥1 is the usual drop
+    rule).
+
+    Scale shape: the new batch is an ingest batch — bounded by contract
+    (≪ corpus) — so its band table is BROADCAST into a streamed scan of
+    the index: the 4×10¹²-row index side never shuffles, and per-ingest
+    cost is one index scan. The batch computes its df cap over itself
+    (each ingest is its own skew universe; the cap kills hot
+    boilerplate, it is not part of the match semantics).
+    """
+    probe = F.broadcast(lsh_bands(new_docs))
+    return (
+        probe.alias("p")
+        .join(index_bands.alias("x"), ["band_idx", "band_hash"])
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("x.doc_id").alias("dup_of"),
+            F.col("band_idx"),
+        )
+        .groupBy("doc_id", "dup_of")
+        .agg(F.countDistinct("band_idx").alias("n_shared_bands"))
+    )
+
+
+def _bands_cte_sql(prefix: str, doc_filter: str) -> str:
+    """Prefixed shingles→sig→bands CTE chain over filtered documents —
+    the oracle twin of ``lsh_bands`` on a corpus subset (df cap scoped
+    to the subset, matching the engine's per-side universes)."""
+    band_rows = []
+    rows_per_band = N_MINHASH // N_BANDS
+    for b in range(N_BANDS):
+        cols = " || ',' || ".join(
+            f"mh_{b * rows_per_band + r:02d}" for r in range(rows_per_band)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash "
+            f"FROM {prefix}_sig"
+        )
+    return f"""
+{prefix}_shingles_all AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT d.doc_id,
+               CASE WHEN len(w.words) < 3 THEN d.text
+                    ELSE array_to_string(list_slice(w.words, t.i + 1, t.i + 3), ' ')
+               END AS shingle
+        FROM documents d
+        CROSS JOIN LATERAL (SELECT string_split(d.text, ' ') AS words) w
+        CROSS JOIN LATERAL (
+            SELECT UNNEST(range(CAST(greatest(len(w.words) - 2, 1) AS BIGINT))) AS i
+        ) t
+        WHERE {doc_filter}
+    )
+),
+{prefix}_shingles AS (
+    SELECT doc_id, shingle FROM {prefix}_shingles_all
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
+),
+{prefix}_sig AS (
+    SELECT doc_id,
+           {_minhash_sql_aggs()}
+    FROM {prefix}_shingles GROUP BY doc_id
+),
+{prefix}_bands AS (
+    {" UNION ALL ".join(band_rows)}
+)"""
+
+
+INDEX_DOC_MOD = 2  # gate split: even doc_ids are indexed, odd ids probe
+
+
 def minhash_jaccard_estimate(documents: DataFrame) -> DataFrame:
     """(doc_a, doc_b, est_jaccard): sketch-estimated Jaccard for LSH
     candidate pairs — matching minhash count / 16.
@@ -345,6 +437,20 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+)
+
+MINHASH_INDEX_SQL = (
+    "WITH "
+    + _bands_cte_sql("hist", f"d.doc_id % {INDEX_DOC_MOD} = 0")
+    + ","
+    + _bands_cte_sql("new", f"d.doc_id % {INDEX_DOC_MOD} = 1")
+    + """
+SELECT p.doc_id, x.doc_id AS dup_of,
+       CAST(count(DISTINCT p.band_idx) AS BIGINT) AS n_shared_bands
+FROM new_bands p JOIN hist_bands x
+  ON p.band_idx = x.band_idx AND p.band_hash = x.band_hash
+GROUP BY p.doc_id, x.doc_id
 """
 )
 
@@ -805,6 +911,72 @@ SELECT doc.doc_id,
 FROM documents doc LEFT JOIN minreach mr ON doc.doc_id = mr.doc_id
 """
 )
+
+
+def neardup_canonical(documents: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id, canonical_id, keep): per near-dup cluster,
+    keep the LONGEST document (tiebreak lowest doc_id) — the quality-
+    prior apply step used by production curation stacks (near-dups are
+    usually truncations/boilerplate-wrapped copies of one best page;
+    min-id keep throws the best copy away whenever it isn't first).
+
+    Scale shape: the per-cluster argmax is a ``max(struct(...))``
+    groupBy — map-side partial aggregation, so a 10⁶-doc boilerplate
+    cluster contributes ONE row per input partition to the shuffle, not
+    10⁶ (a row_number window over cluster_id would move them all).
+    NULL text scores as -1 so both engines order it below empty text.
+    """
+    labels = neardup_clusters(documents, max_iters)
+    scored = labels.join(
+        documents.select(
+            "doc_id",
+            F.coalesce(F.length("text"), F.lit(-1)).alias("n_chars"),
+        ),
+        "doc_id",
+    )
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("_neg_id"),
+                    F.col("doc_id").alias("_id"),
+                )
+            ).alias("b")
+        )
+        .select("cluster_id", F.col("b._id").alias("canonical_id"))
+    )
+    return scored.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )
+
+
+NEARDUP_CANONICAL_SQL = f"""
+WITH clusters AS ({NEARDUP_CLUSTERS_SQL}),
+scored AS (
+    SELECT c.doc_id, c.cluster_id,
+           coalesce(length(d.text), -1) AS n_chars
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+),
+best AS (
+    SELECT cluster_id, doc_id AS canonical_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT s.doc_id, s.cluster_id,
+       CAST(b.canonical_id AS BIGINT) AS canonical_id,
+       s.doc_id = b.canonical_id AS keep
+FROM scored s JOIN best b ON s.cluster_id = b.cluster_id
+"""
 
 
 # --- cross-document duplicated passages --------------------------------------

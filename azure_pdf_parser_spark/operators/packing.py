@@ -149,3 +149,41 @@ SELECT shard, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
        array_to_string((string_split(text, ' '))[CAST(seg_begin + 1 AS INTEGER):CAST(seg_end AS INTEGER)], ' ') AS seg_text
 FROM bounds
 """
+
+
+def training_shards(
+    documents: DataFrame, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """The end-to-end "make training shards" composition: curation
+    verdict → keep set → sequence packing, in one plan.
+
+    The keep filter is a LEFT SEMI join on doc_id (the keep set is
+    corpus-derived, so it is never broadcast — AQE may still choose to
+    once it sees the post-curation size); everything downstream is
+    :func:`pack_sequences`' shard-local shape. Survivor token streams
+    re-concatenate without holes, exactly as a real pretraining run
+    packs its post-curation corpus.
+    """
+    from azure_pdf_parser_spark.operators.curation import curate_corpus
+
+    kept = curate_corpus(documents).where(F.col("keep")).select("doc_id")
+    return pack_sequences(
+        documents.join(kept, "doc_id", "left_semi"), budget, shards
+    )
+
+
+def training_shards_sql(
+    budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> str:
+    from azure_pdf_parser_spark.operators.curation import CURATE_CORPUS_SQL
+
+    pack = pack_sequences_sql(budget, shards, table="kept_docs")
+    spliced = pack.replace("\nWITH toks", ",\ntoks", 1)
+    return (
+        "WITH curated AS ("
+        + CURATE_CORPUS_SQL
+        + "),\nkept_docs AS (\n"
+        "    SELECT d.doc_id, d.text FROM documents d\n"
+        "    JOIN curated c ON d.doc_id = c.doc_id WHERE c.keep\n)"
+        + spliced
+    )

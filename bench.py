@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_neardup_clusters",
+    "dedup_neardup_canonical",
     "duplicate_passages",
     "gopher_filter",
     "corpus_curation",
@@ -69,6 +70,7 @@ BENCH_QUERIES = [
     "sample_splits",
     "sample_stratified",
     "pack_sequences",
+    "training_shards",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "semantic_dedup",
@@ -132,6 +134,11 @@ EXCLUDED_QUERIES = {
     "binaryfile_pdf_parse": (
         "source gate: writes one PDF file per doc driver-side as "
         "scaffolding; the distributed parse plan is the benched pdf_parse"
+    ),
+    "minhash_index_dedup": (
+        "lifecycle gate: wall-clock is dominated by writing/reading the "
+        "band index under a temp dir; the probe join it exercises is "
+        "the benched dedup_minhash_lsh band self-join shape"
     ),
 }
 
@@ -198,6 +205,7 @@ def flagship(spark, sf_dir: str, factor: int):
 # cache-hit time instead of a fresh run's build-once-then-reuse cost
 EAGER_BUILD = {
     "dedup_neardup_clusters",   # iterative driver loop
+    "dedup_neardup_canonical",  # iterative driver loop (same CC core)
     "dedup_ngram_jaccard",      # persists the capped shingle table
     "dedup_minhash_lsh",        # persists the band table
     "minhash_jaccard_estimate", # persists the signature table

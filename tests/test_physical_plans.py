@@ -284,6 +284,44 @@ def test_bloom_prunes_most_clean_shingles(spark):
     )
 
 
+def test_neardup_canonical_argmax_is_window_free(spark):
+    """The per-cluster canonical pick must be a partial-aggregatable
+    max(struct) groupBy, never a row_number window over cluster_id — a
+    window would move a 10⁶-doc boilerplate cluster through one task."""
+    from azure_pdf_parser_spark.operators.dedup import neardup_canonical
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(neardup_canonical(docs))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_minhash_index_probe_broadcasts_batch_side(spark, tmp_path):
+    """The ingest batch's band table (bounded by contract) must
+    broadcast into a streamed scan of the index — the index side never
+    shuffles or sorts per ingest."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.operators.dedup import (
+        load_minhash_index,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "bands")
+    save_minhash_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    index = load_minhash_index(spark, path)
+    probe = probe_minhash_index(index, docs.where(F.col("doc_id") % 2 == 1))
+    nodes = _nodes(_plan(probe))
+    assert "BroadcastHashJoin" in nodes, nodes
+    assert "SortMergeJoin" not in nodes, nodes
+
+
 def test_sample_splits_is_map_only(spark):
     """Split assignment must fuse into the scan — no Exchange."""
     from azure_pdf_parser_spark.plans.queries import QUERIES
