@@ -184,15 +184,38 @@ WHERE round(c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUB
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+MINHASH_PRIME = 4294967291  # largest prime < 2^32
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """(doc_id, mh_00..mh_15): 16 seeded md5 minhashes per doc — one
-    groupBy over the shingle explode (single shuffle, map-side partials)."""
+    """(doc_id, mh_00..mh_15): 16 minhashes per doc — one groupBy over
+    the shingle explode (single shuffle, map-side partials).
+
+    ONE md5 per shingle, not 16: the hex digest's two 32-bit halves
+    (a, b) seed a universal-hash family h_s = (a + s·b) mod p — the
+    standard multiply-shift minhash construction. a + 15·b < 2^36, so
+    the arithmetic can never overflow int64 under ANSI mode, and the
+    mins aggregate over BIGINTs instead of 32-char strings (smaller
+    partial-agg state, cheaper comparisons). Measured 16×-md5 → 1×:
+    the signature build is the shared base of the lsh / estimate /
+    neardup gates. a and b are staged columns: multi-referenced
+    non-cheap trees survive CollapseProject, so the md5 runs once per
+    shingle no matter how many of the 16 aggs reference them.
+    """
     sh = shingles(documents)
+    hashed = sh.select("doc_id", F.md5("shingle").alias("h"))
+    ab = hashed.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("b"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh_{s:02d}")
+        F.min(
+            (F.col("a") + F.lit(s) * F.col("b")) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh_{s:02d}")
         for s in range(N_MINHASH)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return ab.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(documents: DataFrame) -> DataFrame:
@@ -296,7 +319,8 @@ def _bands_cte_sql(prefix: str, doc_filter: str) -> str:
     rows_per_band = N_MINHASH // N_BANDS
     for b in range(N_BANDS):
         cols = " || ',' || ".join(
-            f"mh_{b * rows_per_band + r:02d}" for r in range(rows_per_band)
+            f"CAST(mh_{b * rows_per_band + r:02d} AS VARCHAR)"
+            for r in range(rows_per_band)
         )
         band_rows.append(
             f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash "
@@ -411,8 +435,11 @@ FROM documents
 
 
 def _minhash_sql_aggs() -> str:
+    a = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+    b = "CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)"
     return ",\n           ".join(
-        f"min(md5('{s}:' || shingle)) AS mh_{s:02d}" for s in range(N_MINHASH)
+        f"min(({a} + {s} * {b}) % {MINHASH_PRIME}) AS mh_{s:02d}"
+        for s in range(N_MINHASH)
     )
 
 
@@ -426,13 +453,13 @@ sig AS (
     FROM shingles GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, 0 AS band_idx, md5(mh_00 || ',' || mh_01 || ',' || mh_02 || ',' || mh_03) AS band_hash FROM sig
+    SELECT doc_id, 0 AS band_idx, md5(CAST(mh_00 AS VARCHAR) || ',' || CAST(mh_01 AS VARCHAR) || ',' || CAST(mh_02 AS VARCHAR) || ',' || CAST(mh_03 AS VARCHAR)) AS band_hash FROM sig
     UNION ALL
-    SELECT doc_id, 1, md5(mh_04 || ',' || mh_05 || ',' || mh_06 || ',' || mh_07) FROM sig
+    SELECT doc_id, 1, md5(CAST(mh_04 AS VARCHAR) || ',' || CAST(mh_05 AS VARCHAR) || ',' || CAST(mh_06 AS VARCHAR) || ',' || CAST(mh_07 AS VARCHAR)) FROM sig
     UNION ALL
-    SELECT doc_id, 2, md5(mh_08 || ',' || mh_09 || ',' || mh_10 || ',' || mh_11) FROM sig
+    SELECT doc_id, 2, md5(CAST(mh_08 AS VARCHAR) || ',' || CAST(mh_09 AS VARCHAR) || ',' || CAST(mh_10 AS VARCHAR) || ',' || CAST(mh_11 AS VARCHAR)) FROM sig
     UNION ALL
-    SELECT doc_id, 3, md5(mh_12 || ',' || mh_13 || ',' || mh_14 || ',' || mh_15) FROM sig
+    SELECT doc_id, 3, md5(CAST(mh_12 AS VARCHAR) || ',' || CAST(mh_13 AS VARCHAR) || ',' || CAST(mh_14 AS VARCHAR) || ',' || CAST(mh_15 AS VARCHAR)) FROM sig
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b

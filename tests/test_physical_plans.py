@@ -295,7 +295,10 @@ def test_neardup_canonical_argmax_is_window_free(spark):
     )
     plan = _plan(neardup_canonical(docs))
     assert "Window" not in plan, plan
-    assert "HashAggregate" in plan, plan
+    # struct min/max is not hash-aggregatable; Spark plans SortAggregate
+    # (still partial-aggregated map-side — the property that matters)
+    assert "SortAggregate" in plan or "HashAggregate" in plan, plan
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
 
 
 def test_minhash_index_probe_broadcasts_batch_side(spark, tmp_path):
