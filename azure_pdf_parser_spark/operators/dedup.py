@@ -311,6 +311,63 @@ def probe_minhash_index(index_bands: DataFrame, new_docs: DataFrame) -> DataFram
     )
 
 
+BUCKETED_INDEX_BUCKETS = 8
+
+
+def save_minhash_index_bucketed(
+    documents: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = BUCKETED_INDEX_BUCKETS,
+) -> None:
+    """Persist the LSH band table as a BUCKETED catalog table
+    (``bucketBy(n, band_idx, band_hash)``), data at ``path``.
+
+    This is the deployed form of :func:`save_minhash_index` for
+    corpus-vs-corpus work (full-corpus candidate generation, periodic
+    re-dedup): every downstream equi-join on (band_idx, band_hash) —
+    self-joins included — reads each side already hash-partitioned on
+    the join keys, so the sort-merge join plans with ZERO Exchange.
+    At 10¹² docs the band table is 4×10¹² rows; a shuffle of it is the
+    single largest network event a re-dedup would pay, and bucketing
+    deletes it from every run after the first. (The broadcast-probe
+    path in :func:`probe_minhash_index` stays the right shape for
+    small ingest batches; bucketing is for big-side×big-side.)
+
+    ``sortBy`` the same keys: files arrive sorted, so the SMJ's
+    per-partition sort is a cheap near-sorted pass.
+    """
+    spark = documents.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        lsh_bands(documents)
+        .write.format("parquet")
+        .bucketBy(n_buckets, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_band_pairs(spark, table_name: str) -> DataFrame:
+    """(doc_a, doc_b): LSH candidate pairs from a bucketed band table's
+    SELF-join — output-identical to :func:`minhash_lsh_candidates`,
+    physically shuffle-free: both sides of the join are the same
+    bucketed scan, already partitioned on the join keys (pinned by
+    tests/test_physical_plans.py: zero Exchange below the join)."""
+    bands = spark.table(table_name)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def _bands_cte_sql(prefix: str, doc_filter: str) -> str:
     """Prefixed shingles→sig→bands CTE chain over filtered documents —
     the oracle twin of ``lsh_bands`` on a corpus subset (df cap scoped

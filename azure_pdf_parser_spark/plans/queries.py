@@ -963,6 +963,30 @@ def q_minhash_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("minhash_bucketed_pairs", dedup.MINHASH_LSH_SQL)
+def q_minhash_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale LSH candidate generation over a BUCKETED band
+    table: bands persisted with bucketBy(8, band_idx, band_hash), then
+    self-joined for candidate pairs with ZERO Exchange below the join
+    (both sides read pre-partitioned on the join keys). Output is
+    pinned to the same oracle as dedup_minhash_lsh — identical pairs,
+    different physical strategy; at 10¹² docs the deleted shuffle is
+    4×10¹² rows per re-dedup run."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_bands_gate_")
+    table = "minhash_bands_bucketed_gate"
+    try:
+        dedup.save_minhash_index_bucketed(
+            _docs(spark, sf_dir), table, os.path.join(tmp, "bands")
+        )
+        return _detach(spark, dedup.bucketed_band_pairs(spark, table))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("dedup_neardup_canonical", dedup.NEARDUP_CANONICAL_SQL)
 def q_dedup_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-prior canonical selection per near-dup cluster: keep the
@@ -1037,6 +1061,53 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = spark.read.parquet(out_dir)
         ex = out.select("doc_id", F.explode("spans").alias("s"))
+        return _detach(
+            spark,
+            ex.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.col("s.offset").alias("ord"),
+                "s.kind",
+                "s.text",
+                "s.media_ref",
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_ingest_commit",
+    _KEPT_SQL + "SELECT doc_id, ord, kind, text, media_ref FROM kept",
+)
+def q_stream_ingest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ingest shape end-to-end: foreachBatch micro-batches
+    each run the batch job's atomic run-commit protocol (run-scoped
+    output dir + manifest lineage + marker rename), and the COMMITTED
+    view — the only sanctioned read path — must byte-match the batch
+    oracle. Crash-replay and re-delivery idempotence are pinned by
+    tests/test_stream_ingest.py."""
+    import shutil
+    import tempfile
+
+    from azure_pdf_parser_spark.plans import manifest as _mfst
+    from azure_pdf_parser_spark.streaming.stream_ingest import start_ingest
+
+    tmp = tempfile.mkdtemp(prefix="stream_ingest_gate_")
+    try:
+        in_dir, out_dir = f"{tmp}/in", f"{tmp}/out"
+        man, ckpt = f"{tmp}/manifest", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"), f"{in_dir}/part-000.parquet"
+        )
+        q = start_ingest(spark, in_dir, out_dir, man, ckpt, available_now=True)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_ingest gate: availableNow stream did not drain in 300s"
+            )
+        committed = _mfst.read_parser_output(spark, out_dir, man)
+        ex = committed.select("doc_id", F.explode("spans").alias("s"))
         return _detach(
             spark,
             ex.select(
@@ -1485,6 +1556,21 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivf_kmeans_refine", ann.KMEANS_REFINE_SQL)
+def q_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means fit for the IVF codebook: 2 fixed
+    iterations of broadcast-codebook assignment + one (centroid, pos)
+    groupBy per step for the element-wise cluster means, quantized to
+    1e-6 so the distributed mean is independent of partitioning and
+    summation order (the property that lets DuckDB reproduce an
+    iterative float fit bit-for-bit). Output is the flattened refined
+    codebook (centroid_id, pos, c)."""
+    cents = ann.kmeans_refine(load_table(spark, sf_dir, "embeddings"))
+    return cents.select(
+        "centroid_id", F.posexplode("cvec").alias("pos", "c")
+    )
+
+
 @query(
     "semantic_dedup",
     ann.SEMANTIC_DEDUP_SQL.format(c=ann.N_CENTROIDS, thr=0.35),
@@ -1610,6 +1696,7 @@ REGISTRY_ORDER = [
     "ann_ivf_topk",
     "semantic_dedup",
     "ann_ivf_recall",
+    "ivf_kmeans_refine",
     "gopher_filter",
     "duplicate_passages",
     "corpus_curation",
@@ -1622,6 +1709,8 @@ REGISTRY_ORDER = [
     "decontaminate_bloom",
     "dedup_neardup_canonical",
     "minhash_index_dedup",
+    "minhash_bucketed_pairs",
+    "stream_ingest_commit",
     "training_shards",
     # minhash_jaccard_estimate shares dedup.py with this round's new
     # operators; file-touched code never rotates out of the cap
@@ -1640,10 +1729,8 @@ REGISTRY_ORDER = [
     "parser_output",
     "layout_text_blocks",
     # — stable suite —
-    "spanize",
     "html_parse",
     "table_cell_tagging",
-    "layout_page_metadata",
     "layout_table_blocks",
     "reading_order",
     "layout_quarantine",
@@ -1656,11 +1743,25 @@ REGISTRY_ORDER = [
     "tfidf_top_terms",
     "dedup_neardup_clusters",
     "fingerprint_winnow",
-    "stream_extract",
     # media_features stays in-cap: multimodal.py gained the DCT bridge
     # this round (file-touched code never rotates out)
     "media_features",
     # — rotated out this round (green r1+r2, untouched, sibling-covered) —
+    # spanize: its oracle CTE (SPANIZE_SQL_CTE) runs INSIDE the in-cap
+    # html_parse / pdf_parse / pdf_split_parse / stream_ingest_commit
+    # oracles every round — the parse-stage contract cannot silently
+    # drift while any of those stay green.
+    "spanize",
+    # stream_extract: superseded by the strictly-stronger in-cap
+    # stream_ingest_commit (same oracle, same streaming read + the
+    # committed-run protocol on top); plain-sink parity stays pinned by
+    # the gate's pytest oracle run.
+    "stream_extract",
+    # layout_page_metadata: O10 is a plain projection over the layout
+    # chain (layout.py untouched this round); page dimensions/unit/angle
+    # parity is pinned by the golden-fixture pytests
+    # (tests/test_golden_fixtures.py, incl. the 16-page histogram).
+    "layout_page_metadata",
     # stream_dedup_exact: streaming/stream_dedup.py untouched this
     # round; the batch analog dedup_exact is in-cap and the watermark/
     # NULL-sentinel/expiry behavior is pinned by tests/test_stream_dedup.py.

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "training_shards",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
+    "ivf_kmeans_refine",
     "semantic_dedup",
     "dedup_embedding_cosine",
     "layout_batch_plan",
@@ -139,6 +140,18 @@ EXCLUDED_QUERIES = {
         "lifecycle gate: wall-clock is dominated by writing/reading the "
         "band index under a temp dir; the probe join it exercises is "
         "the benched dedup_minhash_lsh band self-join shape"
+    ),
+    "stream_ingest_commit": (
+        "streaming gate: wall-clock is micro-batch + checkpoint + "
+        "per-run commit fixed costs; the extraction plan it runs per "
+        "batch is the benched extract_spans, and the commit protocol's "
+        "5M-doc cost is measured in the soak (BENCH/BASELINE.md)"
+    ),
+    "minhash_bucketed_pairs": (
+        "lifecycle gate: wall-clock is dominated by the bucketed "
+        "saveAsTable write under a temp dir; the self-join it exercises "
+        "is the benched dedup_minhash_lsh shape minus its exchange "
+        "(zero-Exchange pinned in tests/test_physical_plans.py)"
     ),
 }
 
@@ -214,6 +227,7 @@ EAGER_BUILD = {
     "lm_surprisal",             # persists the vocab model
     "semantic_dedup",           # persists the IVF assignment
     "duplicate_passages",       # persists the positional shingle table
+    "ivf_kmeans_refine",        # persists the normed vector table
 }
 
 

@@ -119,3 +119,59 @@ def test_semantic_dedup_plan_is_equi_join(spark):
     assert re.search(
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) Inner", plan
     ), plan
+
+
+def test_kmeans_refine_improves_quantization(spark):
+    """Lloyd's refinement must tighten the codebook: the mean
+    nearest-centroid cosine of the assignment strictly improves over
+    the deterministic seed codebook on the fixed test corpus, and the
+    codebook stays exactly N_CENTROIDS strong (empty clusters keep
+    their previous centroid — never dropped, never reseeded)."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.operators import ann
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def mean_ccos(cents) -> float:
+        base = ann.with_norm(emb)
+        scored = base.join(F.broadcast(cents)).select(
+            "vec_id",
+            (
+                ann._dot(F.col("vec"), F.col("cvec"))
+                / (F.col("norm") * F.col("cnorm"))
+            ).alias("ccos"),
+        )
+        best = scored.groupBy("vec_id").agg(F.max("ccos").alias("best"))
+        return best.agg(F.avg("best")).collect()[0][0]
+
+    try:
+        seed = ann.ivf_centroids(emb)
+        refined = ann.kmeans_refine(emb)
+        assert refined.count() == ann.N_CENTROIDS
+        assert mean_ccos(refined) > mean_ccos(seed)
+    finally:
+        release_all()
+
+
+def test_kmeans_refine_never_self_joins_vectors(spark):
+    """The fit must stay linear in the corpus: every assignment step is
+    a broadcast of the (tiny) codebook into the vector table — no
+    sort-merge/shuffled join of the vector table against anything, at
+    any iteration."""
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.operators import ann
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    try:
+        df = ann.kmeans_refine(emb)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        release_all()

@@ -16,7 +16,23 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from tests.conftest import SF_DIR
+
+
+@contextmanager
+def _conf(spark, key: str, value: str):
+    """Temporarily override one SQL conf, restoring the prior value."""
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 import re
@@ -323,6 +339,53 @@ def test_minhash_index_probe_broadcasts_batch_side(spark, tmp_path):
     nodes = _nodes(_plan(probe))
     assert "BroadcastHashJoin" in nodes, nodes
     assert "SortMergeJoin" not in nodes, nodes
+
+
+def test_bucketed_band_selfjoin_has_no_exchange(spark, tmp_path):
+    """Corpus-vs-corpus candidate generation over the BUCKETED band
+    table: the self-join on (band_idx, band_hash) must read both sides
+    pre-partitioned — zero Exchange at or below the join. A 10¹²-doc
+    re-dedup otherwise shuffles the full 4×10¹²-row band table every
+    run. Control: the same self-join on plain parquet DOES exchange —
+    proving the bucketing (not AQE/broadcast) deletes the shuffle."""
+    from azure_pdf_parser_spark.operators.dedup import (
+        bucketed_band_pairs,
+        lsh_bands,
+        save_minhash_index_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    table = "minhash_bands_bucketed_plan_test"
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        try:
+            save_minhash_index_bucketed(
+                docs, table, str(tmp_path / "bands")
+            )
+            pairs = bucketed_band_pairs(spark, table)
+            # split off the final .distinct() (its exchange is the
+            # pair-dedup aggregate, not the join under test)
+            bands = spark.table(table)
+            join_only = (
+                bands.alias("a")
+                .join(bands.alias("b"), on=["band_idx", "band_hash"])
+                .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+            plan = _plan(join_only)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            # control: identical join over plain parquet must exchange
+            plain = lsh_bands(docs)
+            ctrl = (
+                plain.alias("a")
+                .join(plain.alias("b"), on=["band_idx", "band_hash"])
+                .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+            assert "Exchange" in _plan(ctrl)
+            assert pairs.count() >= 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
 def test_sample_splits_is_map_only(spark):
