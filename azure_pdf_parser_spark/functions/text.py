@@ -699,3 +699,86 @@ def quality_sql() -> dict[str, str]:
         "stopword_ratio": f"round(({stops}) / nullif(CAST({n_tokens} AS DOUBLE), 0), 6)",
         "distinct_ratio": f"round(len(list_distinct(string_split({t}, ' '))) / nullif(CAST({n_tokens} AS DOUBLE), 0), 6)",
     }
+
+
+# C4-style cleanup rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2) —
+# the doc-level subset expressible over single-space-joined text (C4's
+# per-LINE rules need raw line structure the corpus schema doesn't
+# carry; the line-dedup rule's cross-doc analog is duplicate_passages).
+C4_MIN_SENTENCES = 3
+C4_SENTENCE_END = r"[.!?][\" ]|[.!?]$"
+C4_LOREM = "lorem ipsum"
+C4_BAD_TOKEN = "javascript"
+
+
+def c4_filter(documents: "DataFrame") -> "DataFrame":  # noqa: F821
+    """Per-doc keep/drop under the C4 cleanup rules, one boolean per
+    rule (audit shape, same contract as :func:`gopher_filter`):
+
+    * >= 3 sentences (terminal-punctuation heuristic, as C4's);
+    * ends in terminal punctuation (doc-level form of C4's line rule);
+    * no '{' (C4's code heuristic);
+    * no 'lorem ipsum' (case-insensitive);
+    * no 'javascript' token (doc-level form of C4's line rule).
+
+    NULL/empty text fails every rule — ``keep`` is never NULL. Plan
+    shape: a single map-only lambda-free projection over the scan —
+    whole-stage codegen, zero Exchange at any corpus size.
+    """
+    c = F.col("text")
+    low = F.lower(c)
+
+    def rule(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    rules = {
+        "ok_sentences": rule(F.col("n_sentences") >= C4_MIN_SENTENCES),
+        "ok_terminal_punct": rule(c.rlike(r"[.!?\"]$")),
+        "ok_no_brace": rule(~F.contains(c, F.lit("{"))),
+        "ok_no_lorem": rule(~F.contains(low, F.lit(C4_LOREM))),
+        "ok_no_badword": rule(
+            ~low.rlike(rf"(?:^| ){C4_BAD_TOKEN}(?: |$)")
+        ),
+    }
+    # n_sentences must be computed before the rules reference it, but
+    # the whole thing stays one collapsed projection under codegen
+    sig = documents.select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_count(c, F.lit(C4_SENTENCE_END)), F.lit(0)
+        ).cast("bigint").alias("n_sentences"),
+        *[v.alias(k) for k, v in rules.items()],
+    )
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return sig.select(
+        "doc_id", "n_sentences", *rules.keys(), keep.alias("keep")
+    )
+
+
+def _c4_sql() -> str:
+    t = "text"
+    n_sent = f"coalesce(len(regexp_extract_all({t}, '{C4_SENTENCE_END}')), 0)"
+    rules = {
+        "ok_sentences": f"{n_sent} >= {C4_MIN_SENTENCES}",
+        "ok_terminal_punct": f"""regexp_matches({t}, '[.!?"]$')""",
+        "ok_no_brace": f"NOT contains({t}, '{{')",
+        "ok_no_lorem": f"NOT contains(lower({t}), '{C4_LOREM}')",
+        "ok_no_badword": f"NOT regexp_matches(lower({t}), '(^| ){C4_BAD_TOKEN}( |$)')",
+    }
+    cols = ",\n       ".join(
+        f"coalesce({expr}, FALSE) AS {name}" for name, expr in rules.items()
+    )
+    keep = " AND ".join(f"coalesce({expr}, FALSE)" for expr in rules.values())
+    return f"""
+SELECT doc_id,
+       CAST({n_sent} AS BIGINT) AS n_sentences,
+       {cols},
+       ({keep}) AS keep
+FROM documents
+"""
+
+
+C4_FILTER_SQL = _c4_sql()

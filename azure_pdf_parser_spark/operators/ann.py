@@ -319,36 +319,77 @@ def ivf_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
 # --- IVF index lifecycle: persist / load / query -----------------------------
 
 
-def save_ivf_index(embeddings: DataFrame, path: str, mode: str = "error") -> None:
+def save_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    mode: str = "error",
+    refine_iters: int = 0,
+) -> None:
     """Build and persist the IVF index, PARTITIONED BY centroid_id.
 
     The directory layout IS the inverted-file structure: a query that
     probes one centroid reads one partition (planning-time
     PartitionFilters prune the rest) — the on-disk analog of FAISS's
-    per-list storage, expressed as plain partitioned parquet."""
-    ivf_assign(embeddings).write.partitionBy("centroid_id").mode(mode).parquet(path)
+    per-list storage, expressed as plain partitioned parquet.
+
+    ``refine_iters > 0`` fits the codebook with that many Lloyd
+    iterations (:func:`kmeans_refine`) before assignment — FAISS's
+    train-then-add, as one plan — and persists the fitted codebook
+    under ``{path}/_codebook`` (underscore prefix: hidden from the
+    parquet read of the lists, same convention as the manifest's
+    ``_commits``). Queries must assign with the index's OWN codebook:
+    :func:`load_ivf_codebook` returns the persisted one, or derives the
+    seed codebook from the index rows for unrefined indexes."""
+    cents = kmeans_refine(embeddings, refine_iters) if refine_iters else None
+    ivf_assign(embeddings, centroids=cents).write.partitionBy(
+        "centroid_id"
+    ).mode(mode).parquet(path)
+    if cents is not None:
+        cents.write.mode("overwrite").parquet(f"{path}/_codebook")
 
 
 def load_ivf_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_ivf_codebook(spark, path: str, index: DataFrame) -> DataFrame:
+    """The codebook an index was BUILT with — persisted form if the fit
+    was refined, else the deterministic seed derived from index rows.
+    Assigning queries with any other codebook silently probes the wrong
+    lists (recall collapses without an error)."""
+    import os
+
+    if os.path.isdir(os.path.join(path, "_codebook")):
+        return spark.read.parquet(f"{path}/_codebook")
+    return index.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+
+
 def ivf_query_topk(
-    index: DataFrame, queries: DataFrame, k: int = 5
+    index: DataFrame, queries: DataFrame, k: int = 5, codebook=None
 ) -> DataFrame:
     """Top-k indexed neighbors for NEW query vectors (nprobe=1).
 
     Queries are assigned with the INDEX's codebook (broadcast), then
     equi-join their centroid's list — the scan touches only the probed
     partitions. Self-matches (same vec_id) are excluded so querying the
-    index with its own vectors reproduces :func:`ivf_topk`.
+    index with its own vectors reproduces :func:`ivf_topk`. Pass
+    ``codebook`` (:func:`load_ivf_codebook`) for refined indexes; the
+    default derives the seed codebook from the index rows.
     """
     from pyspark.sql.window import Window
 
-    cents = index.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
+    cents = (
+        codebook
+        if codebook is not None
+        else index.where(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
     )
     assigned_q = ivf_assign(queries, centroids=F.broadcast(cents))
     pairs = assigned_q.alias("q").join(

@@ -676,6 +676,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curate_corpus(_docs(spark, sf_dir))
 
 
+@query("c4_filter", text_fns.C4_FILTER_SQL)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleanup rules (Raffel et al. 2020 §2.2), doc-level subset:
+    per-rule audit booleans + keep verdict, one map-only codegen
+    projection — the standard web-corpus cleanup stage alongside
+    gopher_filter (the per-line C4 rules need line structure the corpus
+    lacks; the line-dedup rule's cross-doc analog is
+    duplicate_passages)."""
+    return text_fns.c4_filter(_docs(spark, sf_dir))
+
+
 @query("gopher_filter", text_fns.GOPHER_FILTER_SQL)
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule keep/drop decision per doc (Rae et al. 2021):
@@ -1697,6 +1708,7 @@ REGISTRY_ORDER = [
     "semantic_dedup",
     "ann_ivf_recall",
     "ivf_kmeans_refine",
+    "c4_filter",
     "gopher_filter",
     "duplicate_passages",
     "corpus_curation",
@@ -1731,7 +1743,6 @@ REGISTRY_ORDER = [
     # — stable suite —
     "html_parse",
     "table_cell_tagging",
-    "layout_table_blocks",
     "reading_order",
     "layout_quarantine",
     "quality_scores",
@@ -1762,6 +1773,11 @@ REGISTRY_ORDER = [
     # parity is pinned by the golden-fixture pytests
     # (tests/test_golden_fixtures.py, incl. the 16-page histogram).
     "layout_page_metadata",
+    # layout_table_blocks: O9 (layout.py untouched this round); the
+    # table-block semantics run through the golden-fixture O3–O14
+    # parity pytests, and the in-cap table_cell_tagging gates the O5/O6
+    # span-harvest quirks that feed it.
+    "layout_table_blocks",
     # stream_dedup_exact: streaming/stream_dedup.py untouched this
     # round; the batch analog dedup_exact is in-cap and the watermark/
     # NULL-sentinel/expiry behavior is pinned by tests/test_stream_dedup.py.

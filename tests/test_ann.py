@@ -175,3 +175,66 @@ def test_kmeans_refine_never_self_joins_vectors(spark):
         assert "CartesianProduct" not in plan, plan
     finally:
         release_all()
+
+
+def test_refined_ivf_index_lifecycle(spark, tmp_path):
+    """Refined-index lifecycle: save with refine_iters=2 persists the
+    fitted codebook; loading it and querying the index's own vectors
+    must reproduce the in-memory refined pipeline exactly. Assigning
+    the same queries with the SEED codebook instead probes different
+    lists — the mismatch load_ivf_codebook exists to prevent."""
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.operators import ann
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf_refined")
+    try:
+        ann.save_ivf_index(emb, path, refine_iters=2)
+        index = ann.load_ivf_index(spark, path)
+        book = ann.load_ivf_codebook(spark, path, index)
+
+        got = sorted(
+            (r.vec_id, r.neighbor_id, r.rank)
+            for r in ann.ivf_query_topk(index, emb, k=5, codebook=book).collect()
+        )
+        # in-memory reference: assign with the refined codebook and
+        # run the same within-list top-k
+        cents = ann.kmeans_refine(emb, 2)
+        assigned = ann.ivf_assign(emb, centroids=cents)
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        a, b = assigned.alias("a"), assigned.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(
+                ann._dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm")),
+                6,
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        want = sorted(
+            (r.vec_id, r.neighbor_id, r.rank)
+            for r in pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .collect()
+        )
+        assert got == want
+        # the persisted codebook is the refined one, not the seed
+        seed = {
+            (r.centroid_id, tuple(r.cvec))
+            for r in ann.ivf_centroids(emb).collect()
+        }
+        loaded = {(r.centroid_id, tuple(r.cvec)) for r in book.collect()}
+        assert loaded != seed
+    finally:
+        release_all()

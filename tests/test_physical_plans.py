@@ -436,3 +436,12 @@ def test_lm_surprisal_broadcasts_model(spark):
         release_all()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_c4_filter_is_map_only(spark):
+    """C4 rules must fuse into the scan: pure per-row predicates, no
+    Exchange of any kind — a pass-through at any corpus size."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["c4_filter"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
