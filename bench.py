@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "c4_filter",
     "gopher_filter",
     "corpus_curation",
+    "corpus_span_dedup",
+    "corpus_mix",
     "decontaminate",
     "decontaminate_bloom",
     "pii_scrub",
@@ -253,6 +255,7 @@ EAGER_BUILD = {
     "semantic_dedup",           # persists the IVF assignment
     "duplicate_passages",       # persists the positional shingle table
     "ivf_kmeans_refine",        # persists the normed vector table
+    "corpus_span_dedup",        # persists the hashed span table
 }
 
 
