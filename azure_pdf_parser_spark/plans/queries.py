@@ -31,6 +31,7 @@ from azure_pdf_parser_spark.operators import (
     dedup,
     extract_spans,
 )
+from azure_pdf_parser_spark.operators import classifier
 from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import packing, sampling
 from azure_pdf_parser_spark.operators import events as events_ops
@@ -719,6 +720,18 @@ def q_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus.span_frequency_filter(ex)
+
+
+@query("classifier_quality", classifier.classifier_sql())
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classification: bag-of-hashed-words LINEAR
+    classifier (CCNet/fastText-style, hashing trick) with integer-exact
+    milli-weight scoring — (doc_id, n_tokens, weight_sum, keep). The
+    weight source here is the documented deterministic stand-in lattice
+    (no model files in-sandbox); the trained-weights production seam is
+    :func:`operators.classifier.classifier_scores_with_weights`
+    (broadcast weight table, pytest-pinned to this same plan)."""
+    return classifier.classifier_scores(_docs(spark, sf_dir))
 
 
 @query("corpus_mix", corpus.mix_corpus_sql())
@@ -1737,6 +1750,7 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGISTRY_ORDER = [
     # — changed or new this round —
+    "classifier_quality",
     "corpus_span_dedup",
     "corpus_mix",
     "ann_cosine_topk",

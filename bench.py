@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "duplicate_passages",
     "c4_filter",
     "gopher_filter",
+    "classifier_quality",
     "corpus_curation",
     "corpus_span_dedup",
     "corpus_mix",
