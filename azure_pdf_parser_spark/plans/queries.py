@@ -384,11 +384,21 @@ def q_table_cell_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAYOUT_SQL = f"WITH {SPANIZE_SQL_CTE},{layoutize.LAYOUT_SQL_CTES}"
 
 
+def _layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents widened for the CPU-heavy layout-IR derivation (md5
+    polygons/pages per paragraph): a small under-parallel scan would
+    otherwise run the whole derivation in one task — widen_for_compute
+    is a no-op whenever the scan already has >= cores splits."""
+    from azure_pdf_parser_spark.plans.extract import widen_for_compute
+
+    return widen_for_compute(_docs(spark, sf_dir))
+
+
 def _assembled(spark: SparkSession, sf_dir: str, tables: bool = False) -> DataFrame:
     from azure_pdf_parser_spark.operators.batching import merge_batches
     from azure_pdf_parser_spark.operators.layout import assemble
 
-    merged = merge_batches(layoutize.derive_layout_batches(_docs(spark, sf_dir)))
+    merged = merge_batches(layoutize.derive_layout_batches(_layout_docs(spark, sf_dir)))
     return assemble(merged, experimental_extract_tables=tables)
 
 
@@ -425,7 +435,7 @@ CROSS JOIN LATERAL (
 def q_layout_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: page-batch plan — 1-based inclusive ranges, 0-based batch
     numbers (reference utils.py:117-163 split math)."""
-    batches = layoutize.derive_layout_batches(_docs(spark, sf_dir))
+    batches = layoutize.derive_layout_batches(_layout_docs(spark, sf_dir))
     return batches.select(
         "doc_id",
         "batch_number",
@@ -635,7 +645,7 @@ def q_layout_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_pdf_parser_spark.operators.layout import assemble
 
     merged = merge_batches(
-        layoutize.derive_layout_batches(_docs(spark, sf_dir))
+        layoutize.derive_layout_batches(_layout_docs(spark, sf_dir))
     ).withColumn("cdn", layoutize.cdn_object_col(F.col("doc_id")))
     return assemble(merged, cdn_object_col="cdn").select(
         "doc_id", "status", "error"

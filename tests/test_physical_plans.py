@@ -445,3 +445,25 @@ def test_c4_filter_is_map_only(spark):
 
     plan = _plan(QUERIES["c4_filter"](spark, SF_DIR))
     assert "Exchange" not in plan, plan
+
+
+def test_widen_for_compute_is_conditional(spark):
+    """widen_for_compute spreads an under-parallel scan on doc_id but is
+    a strict NO-OP when the input already has >= defaultParallelism
+    partitions — at production scale (thousands of splits) it must never
+    add an exchange."""
+    from pyspark.sql import functions as F
+
+    from azure_pdf_parser_spark.plans.extract import widen_for_compute
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).select(F.col("id").cast("string").alias("doc_id")).coalesce(1)
+    widened = widen_for_compute(narrow)
+    assert widened.rdd.getNumPartitions() == par * 2
+    plan = _plan(widened)
+    assert "Exchange" in plan and "hashpartitioning(doc_id" in plan
+
+    wide = spark.range(100).select(
+        F.col("id").cast("string").alias("doc_id")
+    ).repartition(par * 4, "doc_id")
+    assert widen_for_compute(wide) is wide
