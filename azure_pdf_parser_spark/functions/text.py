@@ -492,6 +492,9 @@ def repetition_stats(documents: "DataFrame") -> "DataFrame":  # noqa: F821
     """
     from pyspark.sql import functions as F
 
+    from azure_pdf_parser_spark.partitioning import widen_for_compute
+
+    documents = widen_for_compute(documents)
     words = F.split("text", " ")
     n = F.size(words)
     bigrams = F.when(n < 2, F.array(F.col("text"))).otherwise(
@@ -620,6 +623,9 @@ def gopher_filter(documents: "DataFrame") -> "DataFrame":  # noqa: F821
     with map-side partials) and joins back on the uniform doc_id key —
     two shuffles total at any scale, no driver-side work.
     """
+    from azure_pdf_parser_spark.partitioning import widen_for_compute
+
+    documents = widen_for_compute(documents)
     c = F.col("text")
     n_chars = F.length(c)
     n_tokens = token_count_expr(c)

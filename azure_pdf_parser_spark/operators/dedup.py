@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from azure_pdf_parser_spark.caching import tracked_persist
+from azure_pdf_parser_spark.partitioning import widen_for_compute
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
@@ -55,6 +56,7 @@ def shingles(
     broadcast; no forced-broadcast hint — the hot set is corpus-derived
     and its absolute size must stay AQE's decision.
     """
+    documents = widen_for_compute(documents)
     words = F.split("text", " ")
     n = F.size(words)
     shingle_arr = F.when(
@@ -585,7 +587,7 @@ def simhash(documents: DataFrame) -> DataFrame:
     # summing ±cnt over distinct (doc, token) — which removes the
     # (doc_id, token) pre-aggregation SHUFFLE entirely; the one remaining
     # groupBy(doc_id) collapses map-side to one row per doc per partition
-    tokens = documents.select(
+    tokens = widen_for_compute(documents).select(
         "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
     ).where(F.col("token").isNotNull())
     words = tokens.select(
@@ -832,6 +834,7 @@ def winnow_fingerprints(documents: DataFrame, window: int = 4) -> DataFrame:
     each shingle exactly once; the one shuffle keys on doc_id (uniform)."""
     from pyspark.sql.window import Window
 
+    documents = widen_for_compute(documents)
     words = F.split("text", " ")
     n = F.size(words)
     shingle_arr = F.when(n < SHINGLE_WORDS, F.array(F.col("text"))).otherwise(
@@ -1107,6 +1110,7 @@ def duplicate_passages(
     """
     from pyspark.sql.window import Window
 
+    documents = widen_for_compute(documents)
     words = F.split("text", " ")
     n = F.size(words)
     arr = F.transform(

@@ -131,10 +131,12 @@ def doc_languages(documents: DataFrame, min_proportion: float = 0.4) -> DataFram
     # join on the uniform doc_id key — at 100 TB the exchange moves only
     # (doc_id, language) pairs, orders of magnitude cheaper than
     # interpreted per-span regex re-scans.
+    from azure_pdf_parser_spark.partitioning import widen_for_compute
+
     kept = kept_spans_col(F.col("spans"))
-    spans = documents.select("doc_id", F.explode_outer(kept).alias("s")).where(
-        F.col("s").isNotNull() & F.col("s.text").isNotNull()
-    )
+    spans = widen_for_compute(documents).select(
+        "doc_id", F.explode_outer(kept).alias("s")
+    ).where(F.col("s").isNotNull() & F.col("s.text").isNotNull())
     from pyspark.sql.window import Window
 
     votes = with_language(spans, F.col("s.text"), "language").select(

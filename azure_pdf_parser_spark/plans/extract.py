@@ -89,25 +89,6 @@ def with_raw_partitioning(
     return documents.repartition(n, "doc_id")
 
 
-def widen_for_compute(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Widen a NARROW scan before CPU-heavy per-row derivation, only
-    when the scan is under-parallel (fewer input splits than cores).
-
-    A small input (one parquet file, a handful of splits) otherwise
-    pins the whole derivation stage to one task on an idle cluster —
-    the map-side analog of the skew problem. At production scale the
-    scan has thousands of splits and this is a NO-OP (the conditional
-    never fires), so no shuffle is added where the read is already
-    parallel; repartitioning is on doc_id, the same unique-key spread
-    as :func:`with_raw_partitioning`."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
-    return df.repartition(
-        num_partitions or sc.defaultParallelism * 2, "doc_id"
-    )
-
-
 def run_extract(
     spark: SparkSession,
     documents: DataFrame,

@@ -33,6 +33,7 @@ from azure_pdf_parser_spark.operators import (
 )
 from azure_pdf_parser_spark.operators import classifier
 from azure_pdf_parser_spark.operators import lm as lm_ops
+from azure_pdf_parser_spark.operators import urls
 from azure_pdf_parser_spark.operators import packing, sampling
 from azure_pdf_parser_spark.operators import events as events_ops
 from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
@@ -389,7 +390,7 @@ def _layout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     polygons/pages per paragraph): a small under-parallel scan would
     otherwise run the whole derivation in one task — widen_for_compute
     is a no-op whenever the scan already has >= cores splits."""
-    from azure_pdf_parser_spark.plans.extract import widen_for_compute
+    from azure_pdf_parser_spark.partitioning import widen_for_compute
 
     return widen_for_compute(_docs(spark, sf_dir))
 
@@ -742,6 +743,25 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`operators.classifier.classifier_scores_with_weights`
     (broadcast weight table, pytest-pinned to this same plan)."""
     return classifier.classifier_scores(_docs(spark, sf_dir))
+
+
+@query("url_features", urls.url_features_sql())
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/provenance features (C4/RefinedWeb filter family): host,
+    registered domain, TLD, path depth, blocklist verdict — map-only
+    regexp codegen over the deterministic URL derivation (production
+    seam: the crawl record's real url column). Zero exchange
+    (plan-pinned)."""
+    return urls.url_features(_docs(spark, sf_dir))
+
+
+@query("domain_cap", urls.domain_cap_sql(k=10))
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain volume cap: deterministic md5-rank
+    top-10 per registered domain, WindowGroupLimit pre-truncation so a
+    hot domain moves n_partitions*k rows through the one domain-keyed
+    exchange, never its full page count."""
+    return urls.domain_cap(_docs(spark, sf_dir), k=10)
 
 
 @query("corpus_mix", corpus.mix_corpus_sql())
@@ -1761,6 +1781,8 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY_ORDER = [
     # — changed or new this round —
     "classifier_quality",
+    "url_features",
+    "domain_cap",
     "corpus_span_dedup",
     "corpus_mix",
     "ann_cosine_topk",

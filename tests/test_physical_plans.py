@@ -454,7 +454,7 @@ def test_widen_for_compute_is_conditional(spark):
     add an exchange."""
     from pyspark.sql import functions as F
 
-    from azure_pdf_parser_spark.plans.extract import widen_for_compute
+    from azure_pdf_parser_spark.partitioning import widen_for_compute
 
     par = spark.sparkContext.defaultParallelism
     narrow = spark.range(100).select(F.col("id").cast("string").alias("doc_id")).coalesce(1)
