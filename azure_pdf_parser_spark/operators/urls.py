@@ -1,0 +1,189 @@
+"""URL / domain curation: the provenance-based filter family.
+
+C4 removes documents by URL blocklist, RefinedWeb dedups by URL and
+caps per-domain volume, Gopher weights domains — every production
+crawl pipeline filters on WHERE a document came from, not only on its
+text. Reference analog: none (azure-pdf-parser receives documents
+individually and keeps only ``document_source_url`` as an opaque
+passthrough field, models.py via ParserInput); this suite is an engine
+addition like the quality/dedup neighbors.
+
+URL source
+----------
+The sandbox ``documents`` table carries ``source`` (a registrar-like
+label) but no URL column, so :func:`synthesize_url` derives one
+deterministically — ``https://{sub}.{source}.example.com/{seg0}/
+{seg1}/{doc_id}.html`` with subdomain and path segments taken from md5
+nibbles of the doc_id (the same derivation-seam pattern as layoutize's
+``cdn_object``). In production the column comes straight off the crawl
+record and every operator below runs unchanged on it.
+
+Operators
+---------
+* :func:`url_features` — map-only parse: host, registered domain,
+  TLD, path depth, and a C4-style blocklist verdict (spammy path
+  token). Pure regexp/split codegen, zero exchange: a pass-through
+  stage at any corpus size.
+* :func:`domain_cap` — RefinedWeb-style per-domain volume cap: keep
+  at most ``k`` documents per registered domain, selected by
+  deterministic md5 rank (growth-stable: adding documents never evicts
+  a kept doc with a lower hash). One shuffle on the domain key;
+  the ``row_number() <= k`` filter compiles to WindowGroupLimit, so
+  each map task forwards only its local top-k per domain — the
+  exchange moves O(domains·k) rows, not the corpus, which is what
+  makes an exact cap survive a hot domain with 10⁹ pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# path tokens C4-style blocklists catch (spam/adult markers); kept tiny
+# and documented — the production seam swaps in a real blocklist table.
+BLOCKED_PATH_TOKENS = ("casino", "xxx", "loan")
+
+DEFAULT_DOMAIN_CAP = 100
+
+
+def _nib(h: Column, i: int) -> Column:
+    return F.substring(h, i, 1)
+
+
+def synthesize_url(doc_id: Column, source: Column) -> Column:
+    """Deterministic URL for a (doc_id, source) pair — derivation seam,
+    mirrored verbatim in :data:`URL_SQL`. Nibbles 1-3 of
+    md5(doc_id || ':url') pick the subdomain and two path segments;
+    nibble 4 injects a blocked token into ~3/16 of URLs so the
+    blocklist rule has both outcomes to verify against."""
+    h = F.md5(F.concat(doc_id.cast("string"), F.lit(":url")))
+    sub = F.concat(F.lit("w"), _nib(h, 1))
+    seg0 = F.concat(F.lit("s"), _nib(h, 2))
+    seg1 = F.when(
+        _nib(h, 4).isin("0", "1", "2"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in BLOCKED_PATH_TOKENS]),
+            (F.conv(_nib(h, 4), 16, 10).cast("int") % len(BLOCKED_PATH_TOKENS)) + 1,
+        ),
+    ).otherwise(F.concat(F.lit("p"), _nib(h, 3)))
+    return F.concat_ws(
+        "",
+        F.lit("https://"),
+        sub, F.lit("."), source, F.lit(".example.com/"),
+        seg0, F.lit("/"), seg1, F.lit("/"),
+        doc_id.cast("string"), F.lit(".html"),
+    )
+
+
+URL_SQL = """concat(
+    'https://w', substr(h, 1, 1), '.', source, '.example.com/',
+    's', substr(h, 2, 1), '/',
+    CASE WHEN substr(h, 4, 1) IN ('0','1','2')
+         THEN (['casino','xxx','loan'])[
+             CAST(('0x' || substr(h, 4, 1)) AS BIGINT) % 3 + 1]
+         ELSE 'p' || substr(h, 3, 1) END, '/',
+    CAST(doc_id AS VARCHAR), '.html')"""
+
+URL_SQL_CTE = f"""
+urls AS (
+    SELECT doc_id, source, {URL_SQL} AS url
+    FROM (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || ':url') AS h
+          FROM documents)
+)
+"""
+
+
+_HOST_RE = r"^https?://([^/]+)/"
+# registered domain = last 3 labels here (example.com is the public
+# suffix in the synthetic space); a production deployment swaps in a
+# public-suffix-list lookup, same column contract.
+_DOMAIN_RE = r"([^./]+\.[^./]+\.[^./]+)$"
+
+
+def url_features(documents: DataFrame) -> DataFrame:
+    """(doc_id, url, host, domain, tld, path_depth, blocked) — map-only
+    codegen (regexp + split), no exchange of any kind."""
+    url = synthesize_url(F.col("doc_id"), F.col("source"))
+    host = F.regexp_extract(url, _HOST_RE, 1)
+    path = F.regexp_replace(url, r"^https?://[^/]+", "")
+    blocked = F.lit(False)
+    for tok in BLOCKED_PATH_TOKENS:
+        blocked = blocked | path.contains(f"/{tok}/")
+    return documents.select(
+        "doc_id",
+        url.alias("url"),
+        host.alias("host"),
+        F.regexp_extract(host, _DOMAIN_RE, 1).alias("domain"),
+        F.element_at(F.split(host, r"\."), -1).alias("tld"),
+        (F.size(F.split(path, "/")) - 2).cast("int").alias("path_depth"),
+        blocked.alias("blocked"),
+    )
+
+
+def domain_cap(
+    documents: DataFrame, k: int = DEFAULT_DOMAIN_CAP
+) -> DataFrame:
+    """Keep at most ``k`` docs per registered domain: deterministic
+    md5-rank selection (the same growth-stable hash family as
+    operators/sampling.py). Returns the SURVIVORS only — (doc_id,
+    domain, domain_rank) — because the rank filter is what makes the
+    op scale: ``row_number() <= k`` plans as WindowGroupLimit (pinned
+    by test), each map task pre-truncates to its local top-k per
+    domain before the shuffle, so a domain with 10⁹ pages moves
+    n_partitions·k rows through the one domain-keyed exchange, never
+    10⁹. The dropped set, when needed for audit, is a left_anti join
+    against this output — still bounded by the same exchange.
+    """
+    from pyspark.sql.window import Window
+
+    feats = url_features(documents).select("doc_id", "domain")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap")))
+    w = Window.partitionBy("domain").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        feats.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("domain_rank") <= k)
+        .select("doc_id", "domain", "domain_rank")
+    )
+
+
+def domain_cap_sql(k: int = DEFAULT_DOMAIN_CAP) -> str:
+    return f"""
+WITH {URL_SQL_CTE.strip()},
+feat AS (
+    SELECT doc_id,
+           regexp_extract(regexp_extract(url, '^https?://([^/]+)/', 1),
+                          '([^./]+\\.[^./]+\\.[^./]+)$', 1) AS domain
+    FROM urls
+),
+ranked AS (
+    SELECT doc_id, domain,
+           CAST(row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id
+           ) AS INT) AS domain_rank
+    FROM feat
+)
+SELECT doc_id, domain, domain_rank
+FROM ranked WHERE domain_rank <= {k}
+"""
+
+
+def url_features_sql() -> str:
+    blocked = " OR ".join(
+        f"path LIKE '%/{tok}/%'" for tok in BLOCKED_PATH_TOKENS
+    )
+    return f"""
+WITH {URL_SQL_CTE.strip()},
+parts AS (
+    SELECT doc_id, url,
+           regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           regexp_replace(url, '^https?://[^/]+', '') AS path
+    FROM urls
+)
+SELECT doc_id, url, host,
+       regexp_extract(host, '([^./]+\\.[^./]+\\.[^./]+)$', 1) AS domain,
+       string_split(host, '.')[-1] AS tld,
+       CAST(len(string_split(path, '/')) - 2 AS INT) AS path_depth,
+       ({blocked}) AS blocked
+FROM parts
+"""

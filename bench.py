@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "c4_filter",
     "gopher_filter",
     "classifier_quality",
+    "url_features",
+    "domain_cap",
     "corpus_curation",
     "corpus_span_dedup",
     "corpus_mix",
