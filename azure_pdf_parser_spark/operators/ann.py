@@ -854,3 +854,209 @@ WHERE round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
                            i -> a.vec[i] * b.vec[i]), 'sum')
             / (a.norm * b.norm), 6) >= {threshold}
 """
+
+
+# --- IVF + product quantization ----------------------------------------------
+
+# 64-dim vectors → PQ_M subspaces of PQ_SUBDIM dims, PQ_K codewords per
+# subspace: the stored code is PQ_M bytes per vector instead of 64
+# floats — a 32× index-memory reduction, the property that lets a
+# 10^12-vector inverted file live in cluster RAM. Codewords are
+# deterministic here (subvectors of the first PQ_K vectors — the same
+# derivation seam as ivf_centroids); production fits them per subspace
+# with kmeans_refine on a sample and persists them with the index.
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+
+
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """(m, code, cw): PQ_M × PQ_K codewords, PQ_SUBDIM doubles each.
+    PQ_M·PQ_K rows total — broadcast by construction, never shuffled."""
+    base = with_norm(embeddings).where(F.col("vec_id") < PQ_K)
+    subs = F.array(*[
+        F.struct(
+            F.lit(m).cast("int").alias("m"),
+            F.slice(F.col("vec"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cw"),
+        )
+        for m in range(PQ_M)
+    ])
+    return base.select(
+        F.col("vec_id").cast("int").alias("code"), F.explode(subs).alias("s")
+    ).select("s.m", "code", "s.cw")
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataFrame:
+    """(vec_id, codes): the PQ index rows — ``codes[m]`` is the argmin-L2
+    codeword of subspace m (L2² rounded to 6, ties to the lower code, so
+    the DuckDB mirror can never diverge on float noise).
+
+    Plan: vectors × broadcast codebook (PQ_M·PQ_K tiny rows) scored
+    map-side, then ONE groupBy on the uniform (vec_id) key: min_by per
+    subspace and the code array assembled in the same aggregate — the
+    exchange moves one row per (vector, subspace)."""
+    cb = codebook if codebook is not None else pq_codebook(embeddings)
+    base = with_norm(embeddings)
+    sub = F.slice(F.col("vec"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM)
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(sub, F.col("cw"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = base.join(F.broadcast(cb)).select(
+        "vec_id", "m", "code", l2.alias("l2")
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min_by("code", F.struct("l2", "code")).alias("code")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s.code,
+        ).alias("codes")
+    )
+
+
+def _pq_recon(codes_df: DataFrame, codebook: DataFrame) -> DataFrame:
+    """codes → reconstructed vector + its norm, via ONE broadcast map
+    lookup per row (the codebook aggregated into a single map literal:
+    PQ_M·PQ_K entries). Production ADC replaces this with a per-query
+    lookup table — same math (dot(q, recon) ≡ Σ_m lut[m][code_m]), the
+    recon form is what the SQL mirror can state directly."""
+    cb_map = codebook.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list(F.concat_ws(":", "m", "code")),
+            F.collect_list("cw"),
+        ).alias("cb")
+    )
+    with_map = codes_df.join(F.broadcast(cb_map))
+    recon = F.flatten(
+        F.transform(
+            F.col("codes"),
+            lambda c, m: F.element_at(
+                F.col("cb"), F.concat_ws(":", m.cast("string"), c.cast("string"))
+            ),
+        )
+    )
+    return with_map.select(
+        "vec_id",
+        "codes",
+        recon.alias("recon"),
+        _norm(recon).alias("rnorm"),
+    )
+
+
+def ivf_pq_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """IVF candidate pruning + PQ-compressed scoring (the canonical
+    composition for RAM-resident web-scale ANN): candidates come from
+    the same nprobe=1 centroid-list equi-join as :func:`ivf_topk`, but
+    the candidate side carries PQ_M-byte codes instead of 64 floats —
+    the shuffle moves ~32× fewer bytes and the resident index is the
+    codes table. Scoring is asymmetric (ADC): the query keeps its exact
+    vector, the candidate is scored through its reconstruction.
+
+    Output: (vec_id, neighbor_id, rank, adc_cosine) — rank by the
+    QUANTIZED score, which is the number a PQ deployment actually ranks
+    on (recall vs exact is the ann_ivf_recall-style concern; at these
+    codebook sizes it is pinned by test)."""
+    from pyspark.sql.window import Window
+
+    cb = tracked_persist(pq_codebook(embeddings))
+    assigned = tracked_persist(ivf_assign(embeddings))
+    cand = _pq_recon(pq_encode(embeddings, cb), cb).join(
+        assigned.select("vec_id", "centroid_id"), "vec_id"
+    )
+    a = assigned.alias("a")
+    b = cand.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("a.vec"), F.col("b.recon"))
+            / (F.col("a.norm") * F.col("b.rnorm")),
+            6,
+        ).alias("adc_cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "adc_cosine")
+    )
+
+
+IVF_PQ_TOPK_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS centroid_id, vec AS cvec, norm AS cnorm FROM base WHERE vec_id < {c}
+),
+cscored AS (
+    SELECT b.vec_id, b.vec, b.norm, c.centroid_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                                             i -> b.vec[i] * c.cvec[i]), 'sum')
+                                       / (b.norm * c.cnorm), 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, vec, norm, centroid_id FROM cscored WHERE rn = 1
+),
+cb AS (
+    SELECT t.m, CAST(b.vec_id AS INT) AS code,
+           list_slice(b.vec, t.m * {sd} + 1, t.m * {sd} + {sd}) AS cw
+    FROM base b
+    CROSS JOIN (SELECT UNNEST(range({pm})) AS m) t
+    WHERE b.vec_id < {pk}
+),
+enc AS (
+    SELECT vec_id, m, code FROM (
+        SELECT b.vec_id, cb.m, cb.code,
+               row_number() OVER (
+                   PARTITION BY b.vec_id, cb.m
+                   ORDER BY round(list_aggregate(list_transform(range(1, {sd} + 1),
+                                  i -> (b.vec[cb.m * {sd} + i] - cb.cw[i])
+                                     * (b.vec[cb.m * {sd} + i] - cb.cw[i])), 'sum'), 6) ASC,
+                            cb.code ASC) AS rn
+        FROM base b CROSS JOIN cb
+    ) WHERE rn = 1
+),
+recon AS (
+    SELECT e.vec_id, flatten(list(c.cw ORDER BY e.m)) AS recon
+    FROM enc e JOIN cb c ON c.m = e.m AND c.code = e.code
+    GROUP BY e.vec_id
+),
+cand AS (
+    SELECT r.vec_id, a.centroid_id, r.recon,
+           sqrt(list_aggregate(list_transform(r.recon, x -> x * x), 'sum')) AS rnorm
+    FROM recon r JOIN assigned a ON a.vec_id = r.vec_id
+),
+pairs AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           round(list_aggregate(list_transform(range(1, len(a.vec) + 1),
+                                i -> a.vec[i] * b.recon[i]), 'sum')
+                 / (a.norm * b.rnorm), 6) AS adc_cosine
+    FROM assigned a JOIN cand b
+      ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, adc_cosine,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY adc_cosine DESC, neighbor_id ASC) AS INT) AS rank
+    FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, adc_cosine FROM ranked WHERE rank <= {k}
+"""

@@ -1595,6 +1595,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_pq_topk",
+    ann.IVF_PQ_TOPK_SQL.format(
+        k=5, c=ann.N_CENTROIDS, pm=ann.PQ_M, pk=ann.PQ_K, sd=ann.PQ_SUBDIM
+    ),
+)
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + product quantization: centroid-list candidate pruning with
+    PQ_M-byte codes on the candidate side (32x smaller resident index)
+    and asymmetric (ADC) scoring — the canonical web-scale ANN
+    composition."""
+    return ann.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
     "ann_ivf_lifecycle",
     ann.IVF_LIFECYCLE_SQL.format(
         k=5, c=ann.N_CENTROIDS, off=ann.QUERY_ID_OFFSET
@@ -1783,6 +1797,7 @@ REGISTRY_ORDER = [
     "classifier_quality",
     "url_features",
     "domain_cap",
+    "ann_ivf_pq_topk",
     "corpus_span_dedup",
     "corpus_mix",
     "ann_cosine_topk",

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "training_shards",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_pq_topk",
     "ivf_kmeans_refine",
     "semantic_dedup",
     "dedup_embedding_cosine",
