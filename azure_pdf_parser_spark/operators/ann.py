@@ -886,15 +886,33 @@ def pq_codebook(embeddings: DataFrame) -> DataFrame:
     ).select("s.m", "code", "s.cw")
 
 
+def _cb_map(codebook: DataFrame) -> DataFrame:
+    """The codebook aggregated into a single one-row map column
+    ('m:code' → cw, PQ_M·PQ_K entries) — the broadcastable form both
+    encode and reconstruction consume."""
+    return codebook.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list(F.concat_ws(":", "m", "code")),
+            F.collect_list("cw"),
+        ).alias("cb")
+    )
+
+
 def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataFrame:
     """(vec_id, codes): the PQ index rows — ``codes[m]`` is the argmin-L2
     codeword of subspace m (L2² rounded to 6, ties to the lower code, so
     the DuckDB mirror can never diverge on float noise).
 
     Plan: vectors × broadcast codebook (PQ_M·PQ_K tiny rows) scored
-    map-side, then ONE groupBy on the uniform (vec_id) key: min_by per
-    subspace and the code array assembled in the same aggregate — the
-    exchange moves one row per (vector, subspace)."""
+    map-side, then two groupBys on the uniform (vec_id[, m]) keys:
+    min_by per subspace, code array assembled per vector — the
+    exchanges move one tiny row per (vector, subspace). A fully
+    map-only formulation (argmin as a nested aggregate-fold over a
+    broadcast codebook map) was MEASURED 4× SLOWER end-to-end: every
+    higher-order-function step is interpreted (CodegenFallback), and
+    the fold evaluates each L2 twice per step — flat join rows keep
+    the per-distance work minimal and the exchanged rows are 12 bytes.
+    """
     cb = codebook if codebook is not None else pq_codebook(embeddings)
     base = with_norm(embeddings)
     sub = F.slice(F.col("vec"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM)
@@ -926,13 +944,7 @@ def _pq_recon(codes_df: DataFrame, codebook: DataFrame) -> DataFrame:
     PQ_M·PQ_K entries). Production ADC replaces this with a per-query
     lookup table — same math (dot(q, recon) ≡ Σ_m lut[m][code_m]), the
     recon form is what the SQL mirror can state directly."""
-    cb_map = codebook.groupBy().agg(
-        F.map_from_arrays(
-            F.collect_list(F.concat_ws(":", "m", "code")),
-            F.collect_list("cw"),
-        ).alias("cb")
-    )
-    with_map = codes_df.join(F.broadcast(cb_map))
+    with_map = codes_df.join(F.broadcast(_cb_map(codebook)))
     recon = F.flatten(
         F.transform(
             F.col("codes"),
@@ -966,8 +978,16 @@ def ivf_pq_topk(embeddings: DataFrame, k: int = 5) -> DataFrame:
 
     cb = tracked_persist(pq_codebook(embeddings))
     assigned = tracked_persist(ivf_assign(embeddings))
-    cand = _pq_recon(pq_encode(embeddings, cb), cb).join(
-        assigned.select("vec_id", "centroid_id"), "vec_id"
+    # persist the reconstructed candidates: without the materialization
+    # barrier CollapseProject inlines the recon expression (map lookups
+    # + flatten) into the PAIR-level projection, re-evaluating it per
+    # candidate PAIR instead of per candidate — the same
+    # lambda-inlining hazard as with_language (BENCH/BASELINE.md);
+    # measured 9.3 s → the ivf_topk-comparable cost with the barrier
+    cand = tracked_persist(
+        _pq_recon(pq_encode(embeddings, cb), cb).join(
+            assigned.select("vec_id", "centroid_id"), "vec_id"
+        )
     )
     a = assigned.alias("a")
     b = cand.alias("b")
