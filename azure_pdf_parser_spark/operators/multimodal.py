@@ -44,9 +44,29 @@ def sniff_format(content: bytes) -> str | None:
         return "gif"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return "avi"
     if content[:4] == b"%PDF":
         return "pdf"
     return None
+
+
+def video_header(content: bytes) -> tuple[int, int, int, int] | None:
+    """(usec_per_frame, total_frames, width, height) from a RIFF-AVI
+    main header (`avih`) — real byte-level chunk walk, no codec libs.
+    Returns None when the hdrl LIST / avih chunk is absent or short."""
+    if sniff_format(content) != "avi":
+        return None
+    if content[12:16] != b"LIST" or content[20:24] != b"hdrl":
+        return None
+    if content[24:28] != b"avih" or len(content) < 32 + 56:
+        return None
+    avih = content[32 : 32 + 56]
+    usec = _struct.unpack("<I", avih[0:4])[0]
+    total = _struct.unpack("<I", avih[16:20])[0]
+    width = _struct.unpack("<I", avih[32:36])[0]
+    height = _struct.unpack("<I", avih[36:40])[0]
+    return int(usec), int(total), int(width), int(height)
 
 
 def header_dimensions(fmt: str, content: bytes) -> tuple[int | None, int | None]:
@@ -74,6 +94,10 @@ def header_dimensions(fmt: str, content: bytes) -> tuple[int | None, int | None]
             channels = _struct.unpack("<H", content[22:24])[0]
             rate = _struct.unpack("<I", content[24:28])[0]
             return int(channels), int(rate)
+        if fmt == "avi":
+            hdr = video_header(content)
+            if hdr is not None:
+                return hdr[2], hdr[3]
     except Exception:
         return None, None
     return None, None
@@ -177,6 +201,28 @@ def synth_media(spans_df: DataFrame, fmt: str = "png") -> DataFrame:
         hex_blob = F.concat(
             F.lit("FFD8FFC0001108"),
             hex_be16(height), hex_be16(width), F.lit("00"),
+        )
+    elif fmt == "avi":
+        media_type = "video"
+        total_frames = (8 * (nib(3) + 1)).cast("int")
+        usec_per_frame = (1000 * (nib(4) + 1)).cast("int")
+        # RIFF(sz 80) "AVI " LIST(sz 68) "hdrl" avih(cb 56) + the 56-byte
+        # main header: usec/frame, ..., total frames @+16, ..., width @+32,
+        # height @+36, 16 reserved bytes — the canonical minimal AVI head
+        hex_blob = F.concat(
+            F.lit("5249464650000000"),              # "RIFF" + size 80 LE
+            F.lit("41564920"),                      # "AVI "
+            F.lit("4C49535444000000"),              # "LIST" + size 68 LE
+            F.lit("6864726C"),                      # "hdrl"
+            F.lit("6176696838000000"),              # "avih" + cb 56 LE
+            hex_le32(usec_per_frame),
+            F.lit("00000000" * 3),                  # maxbytes/padding/flags
+            hex_le32(total_frames),
+            F.lit("00000000"),                      # initial frames
+            F.lit("01000000"),                      # streams = 1
+            F.lit("00000000"),                      # suggested buffer
+            hex_le32(width), hex_le32(height),
+            F.lit("00000000" * 4),                  # reserved
         )
     elif fmt == "wav":
         media_type = "audio"
@@ -320,3 +366,98 @@ def decode_media(media: DataFrame, frame_stride: int = 1) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+FRAME_PLAN_SCHEMA = (
+    "media_ref string, usec_per_frame int, total_frames int, "
+    "width int, height int, status string, error string"
+)
+
+
+def frame_sample(media: DataFrame, stride: int = 10) -> DataFrame:
+    """Every ``stride``-th frame of each video: (media_ref, frame_index,
+    t_ms, width, height).
+
+    Two stages, the standard shape for frame work at corpus scale:
+
+    1. HEADER PARSE (mapInPandas, real bytes): the RIFF/avih chunk walk
+       yields frame count + timing per video — tiny output rows, one
+       per video, failures quarantine without killing the task.
+    2. FRAME FAN-OUT (JVM-side): ``sequence(0, total-1, stride)``
+       exploded into one row per sampled frame with its exact
+       timestamp — pure codegen, no Python in the 1→N expansion, so a
+       10^9-video corpus fans out to 10^11 frame rows without an
+       Arrow round-trip per frame.
+
+    Decoding the sampled frames is the codec seam — route the (media_ref,
+    frame_index) plan rows into :func:`decode_media` (stubbed here:
+    FAKE_DECODER-tested plumbing, NotImplementedError without codecs).
+    """
+    from pyspark.sql import functions as F
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for ref, content in zip(b["media_ref"], b["content"]):
+                try:
+                    hdr = video_header(bytes(content) if content is not None else b"")
+                    if hdr is None:
+                        out.append((ref, None, None, None, None, "failed",
+                                    "not a RIFF-AVI video"))
+                        continue
+                    usec, total, w, h = hdr
+                    out.append((ref, usec, total, w, h, "ok", None))
+                except Exception as e:
+                    out.append((ref, None, None, None, None, "failed",
+                                f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                out,
+                columns=["media_ref", "usec_per_frame", "total_frames",
+                         "width", "height", "status", "error"],
+            )
+
+    plan = media.mapInPandas(run, schema=FRAME_PLAN_SCHEMA)
+    ok = plan.where(F.col("status") == "ok")
+    frames = ok.select(
+        "media_ref", "usec_per_frame", "width", "height",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("total_frames") - 1, F.lit(int(stride))
+            )
+        ).alias("frame_index"),
+    )
+    return frames.select(
+        "media_ref",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        (F.col("frame_index").cast("bigint") * F.col("usec_per_frame") / 1000)
+        .cast("bigint")
+        .alias("t_ms"),
+        "width",
+        "height",
+    )
+
+
+_NIB3 = "(instr('0123456789abcdef', substr(media_ref, 11, 1)) - 1)"
+_NIB4 = "(instr('0123456789abcdef', substr(media_ref, 12, 1)) - 1)"
+
+# Oracle for frame_sample over synth_media(fmt='avi'): the sampled frame
+# grid and exact timestamps predicted straight from the hash nibbles
+# (total_frames = 8*(nib3+1), usec/frame = 1000*(nib4+1) → t_ms =
+# frame_index * (nib4+1)).
+MEDIA_FRAME_SAMPLE_SQL = f"""
+SELECT media_ref,
+       CAST(t.f AS INT) AS frame_index,
+       CAST(t.f * ({_NIB4} + 1) AS BIGINT) AS t_ms,
+       CAST(16 * ({_NIB1} + 1) AS INT) AS width,
+       CAST(16 * ({_NIB2} + 1) AS INT) AS height
+FROM spanize
+CROSS JOIN LATERAL (
+    SELECT UNNEST(range(0, 8 * ({_NIB3} + 1), {{stride}})) AS f
+) t
+WHERE kind = 'figure'
+"""
+
+MEDIA_FEATURES_AVI_SQL = _MEDIA_SQL_TEMPLATE.format(
+    media_type="video", n_bytes=88, fmt="avi",
+    width=f"16 * ({_NIB1} + 1)", height=f"16 * ({_NIB2} + 1)",
+)

@@ -1335,6 +1335,29 @@ q_media_features_jpeg = query(
 q_media_features_wav = query(
     "media_features_wav", f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_FEATURES_WAV_SQL}"
 )(_q_media_fmt("wav"))
+q_media_features_avi = query(
+    "media_features_avi", f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_FEATURES_AVI_SQL}"
+)(_q_media_fmt("avi"))
+
+
+@query(
+    "media_frame_sample",
+    f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_FRAME_SAMPLE_SQL.format(stride=10)}",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: JVM-side synth of real RIFF-AVI
+    main headers, the REAL byte-level avih chunk walk in mapInPandas
+    (one tiny row per video), then a pure-codegen 1->N fan-out to every
+    10th frame with exact timestamps — the codec decode of the sampled
+    frames remains the documented decode_media seam. Oracle predicts
+    the frame grid and t_ms from the hash nibbles."""
+    from azure_pdf_parser_spark.operators.multimodal import (
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(_spans(spark, sf_dir), fmt="avi")
+    return frame_sample(media, stride=10)
 
 
 @query("dedup_embedding_cosine", ann.EMBEDDING_NEAR_DUP_SQL.format(bits=ann.LSH_BITS, threshold=0.35))
@@ -1798,6 +1821,8 @@ REGISTRY_ORDER = [
     "url_features",
     "domain_cap",
     "ann_ivf_pq_topk",
+    "media_frame_sample",
+    "media_features_avi",
     "corpus_span_dedup",
     "corpus_mix",
     "ann_cosine_topk",

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "media_features_gif",
     "media_features_jpeg",
     "media_features_wav",
+    "media_features_avi",
+    "media_frame_sample",
     "pdf_media_features",
     "events_windowed",
     "events_sessionize",

@@ -103,3 +103,36 @@ def test_media_decode_stub_and_fake(spark):
         ]
     finally:
         mm.FAKE_DECODER = None
+
+
+def test_video_header_parse_and_quarantine(spark):
+    """The RIFF-AVI chunk walk parses the synthesized header exactly;
+    truncated / non-AVI bytes quarantine in frame_sample (no rows for
+    that video, task survives)."""
+    import struct
+
+    from azure_pdf_parser_spark.operators import multimodal as mm
+
+    avih = struct.pack(
+        "<IIIIIIII", 2000, 0, 0, 0, 24, 0, 1, 0
+    ) + struct.pack("<II", 320, 240) + b"\x00" * 16
+    blob = (
+        b"RIFF" + struct.pack("<I", 80) + b"AVI "
+        + b"LIST" + struct.pack("<I", 68) + b"hdrl"
+        + b"avih" + struct.pack("<I", 56) + avih
+    )
+    assert mm.sniff_format(blob) == "avi"
+    assert mm.video_header(blob) == (2000, 24, 320, 240)
+    assert mm.video_header(blob[:40]) is None
+    assert mm.video_header(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    media = spark.createDataFrame(
+        [("v1", bytearray(blob)), ("bad", bytearray(b"not a video"))],
+        "media_ref string, content binary",
+    )
+    rows = mm.frame_sample(media, stride=10).collect()
+    assert {r["media_ref"] for r in rows} == {"v1"}
+    got = {(r["frame_index"], r["t_ms"]) for r in rows}
+    # 24 frames @ 2000 usec: sampled 0, 10, 20 → 0 ms, 20 ms, 40 ms
+    assert got == {(0, 0), (10, 20), (20, 40)}
+    assert all((r["width"], r["height"]) == (320, 240) for r in rows)
