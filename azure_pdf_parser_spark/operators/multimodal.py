@@ -236,6 +236,27 @@ def synth_media(spans_df: DataFrame, fmt: str = "png") -> DataFrame:
             F.lit("10000000"), F.lit("0100"),   # chunk len 16 LE, PCM
             hex_le16(channels), hex_le32(rate),
         )
+    elif fmt == "wav_full":
+        media_type = "audio"
+        channels = (nib(1) % 2 + 1).cast("int")
+        rate = (8000 * (nib(2) + 1)).cast("int")
+        n_samples = (4000 * (nib(3) + 1)).cast("int")
+        # complete canonical header: full 16-byte fmt chunk (byte rate,
+        # block align, 16 bits/sample) + the data chunk header carrying
+        # the payload size — header-only blob (44 bytes), the sample
+        # payload itself is not needed for window-plan math
+        block_align = (channels * 2).cast("int")
+        hex_blob = F.concat(
+            F.lit("5249464624000000"),          # "RIFF" + size 36 LE
+            F.lit("57415645666D7420"),          # "WAVE" + "fmt "
+            F.lit("10000000"), F.lit("0100"),   # chunk len 16 LE, PCM
+            hex_le16(channels), hex_le32(rate),
+            hex_le32(rate * block_align),       # byte rate
+            hex_le16(block_align),
+            F.lit("1000"),                      # 16 bits/sample LE
+            F.lit("64617461"),                  # "data"
+            hex_le32(n_samples * block_align),  # data chunk size
+        )
     else:
         raise ValueError(f"unknown synth format: {fmt}")
     return spans.select(
@@ -461,3 +482,91 @@ MEDIA_FEATURES_AVI_SQL = _MEDIA_SQL_TEMPLATE.format(
     media_type="video", n_bytes=88, fmt="avi",
     width=f"16 * ({_NIB1} + 1)", height=f"16 * ({_NIB2} + 1)",
 )
+
+
+def audio_header(content: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, n_samples) from a
+    canonical 44-byte WAV header with a data chunk — real byte parse,
+    no audio libraries. None when fmt/data chunks are absent/short."""
+    if sniff_format(content) != "wav":
+        return None
+    if len(content) < 44 or content[12:16] != b"fmt " or content[36:40] != b"data":
+        return None
+    channels = _struct.unpack("<H", content[22:24])[0]
+    rate = _struct.unpack("<I", content[24:28])[0]
+    bits = _struct.unpack("<H", content[34:36])[0]
+    data_size = _struct.unpack("<I", content[40:44])[0]
+    block = channels * (bits // 8)
+    if block == 0:
+        return None
+    return int(channels), int(rate), int(bits), int(data_size // block)
+
+
+WINDOW_PLAN_SCHEMA = (
+    "media_ref string, channels int, sample_rate int, n_samples int, "
+    "status string, error string"
+)
+
+
+def window_sample(media: DataFrame, stride_samples: int = 2048) -> DataFrame:
+    """Every ``stride_samples``-th analysis window of each audio clip:
+    (media_ref, window_index, start_sample, channels, sample_rate) —
+    the audio twin of :func:`frame_sample`, same two-stage shape:
+    real header parse in mapInPandas (one tiny row per clip, failures
+    quarantine), then a pure-codegen 1→N window fan-out. Decoding the
+    window payloads is the :func:`decode_media` codec seam."""
+    from pyspark.sql import functions as F
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for ref, content in zip(b["media_ref"], b["content"]):
+                try:
+                    hdr = audio_header(bytes(content) if content is not None else b"")
+                    if hdr is None:
+                        out.append((ref, None, None, None, "failed",
+                                    "not a WAV clip with a data chunk"))
+                        continue
+                    ch, rate, _bits, n = hdr
+                    out.append((ref, ch, rate, n, "ok", None))
+                except Exception as e:
+                    out.append((ref, None, None, None, "failed",
+                                f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                out,
+                columns=["media_ref", "channels", "sample_rate", "n_samples",
+                         "status", "error"],
+            )
+
+    plan = media.mapInPandas(run, schema=WINDOW_PLAN_SCHEMA)
+    ok = plan.where(F.col("status") == "ok")
+    return ok.select(
+        "media_ref", "channels", "sample_rate",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_samples") - 1, F.lit(int(stride_samples)))
+        ).alias("start_sample"),
+    ).select(
+        "media_ref",
+        (F.col("start_sample") / F.lit(int(stride_samples)))
+        .cast("int")
+        .alias("window_index"),
+        F.col("start_sample").cast("int").alias("start_sample"),
+        "channels",
+        "sample_rate",
+    )
+
+
+# Oracle for window_sample over synth_media(fmt='wav_full'): window grid
+# predicted from the nibbles (n_samples = 4000*(nib3+1)).
+MEDIA_WINDOW_SAMPLE_SQL = f"""
+SELECT media_ref,
+       CAST(t.s // {{stride}} AS INT) AS window_index,
+       CAST(t.s AS INT) AS start_sample,
+       CAST({_NIB1} % 2 + 1 AS INT) AS channels,
+       CAST(8000 * ({_NIB2} + 1) AS INT) AS sample_rate
+FROM spanize
+CROSS JOIN LATERAL (
+    SELECT UNNEST(range(0, 4000 * ({_NIB3} + 1), {{stride}})) AS s
+) t
+WHERE kind = 'figure'
+"""

@@ -1341,6 +1341,26 @@ q_media_features_avi = query(
 
 
 @query(
+    "media_window_sample",
+    f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_WINDOW_SAMPLE_SQL.format(stride=2048)}",
+)
+def q_media_window_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio window-sampling plumbing (the audio twin of
+    media_frame_sample): JVM-side synth of complete 44-byte WAV headers
+    (full fmt chunk + data chunk size), the REAL byte-level header
+    parse in mapInPandas (one tiny row per clip), then a pure-codegen
+    fan-out to one row per 2048-sample analysis window; decoding the
+    window payloads stays the decode_media codec seam."""
+    from azure_pdf_parser_spark.operators.multimodal import (
+        synth_media,
+        window_sample,
+    )
+
+    media = synth_media(_spans(spark, sf_dir), fmt="wav_full")
+    return window_sample(media, stride_samples=2048)
+
+
+@query(
     "media_frame_sample",
     f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_FRAME_SAMPLE_SQL.format(stride=10)}",
 )
@@ -1828,6 +1848,7 @@ REGISTRY_ORDER = [
     "ann_ivf_pq_topk",
     "media_frame_sample",
     "media_features_avi",
+    "media_window_sample",
     "corpus_span_dedup",
     "corpus_mix",
     "c4_filter",
@@ -1875,7 +1896,6 @@ REGISTRY_ORDER = [
     # intersects); lm.py: TakeOrderedAndProject vocab
     "langid",
     "doc_languages",
-    "quality_scores",
     "lm_surprisal",
     "tfidf_top_terms",
     # extract_spans.py changed; flagship + assembly carry its contract
@@ -1917,6 +1937,10 @@ REGISTRY_ORDER = [
     "media_features_gif",
     "media_features_jpeg",
     "media_features_wav",
+    # quality_scores: its quality_exprs in functions/text.py are
+    # untouched by the r3 langid/gopher work, and the same expressions
+    # run INSIDE the in-cap corpus_curation oracle every round.
+    "quality_scores",
     # token_stats / vocab_topk / repetition_stats: their expressions in
     # functions/text.py are untouched by the r3 langid/widen work
     # (repetition gained only the value-identical widen); repetition's

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "media_features_wav",
     "media_features_avi",
     "media_frame_sample",
+    "media_window_sample",
     "pdf_media_features",
     "events_windowed",
     "events_sessionize",

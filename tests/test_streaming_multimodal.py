@@ -136,3 +136,32 @@ def test_video_header_parse_and_quarantine(spark):
     # 24 frames @ 2000 usec: sampled 0, 10, 20 → 0 ms, 20 ms, 40 ms
     assert got == {(0, 0), (10, 20), (20, 40)}
     assert all((r["width"], r["height"]) == (320, 240) for r in rows)
+
+
+def test_audio_header_parse_and_quarantine(spark):
+    """The 44-byte WAV header parse yields (channels, rate, bits,
+    n_samples); truncated clips and headerless bytes quarantine in
+    window_sample."""
+    import struct
+
+    from azure_pdf_parser_spark.operators import multimodal as mm
+
+    blob = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 16000, 16000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", 5000 * 4)
+    )
+    assert mm.sniff_format(blob) == "wav"
+    assert mm.audio_header(blob) == (2, 16000, 16, 5000)
+    assert mm.audio_header(blob[:30]) is None
+
+    media = spark.createDataFrame(
+        [("a1", bytearray(blob)), ("bad", bytearray(b"noise"))],
+        "media_ref string, content binary",
+    )
+    rows = mm.window_sample(media, stride_samples=2048).collect()
+    assert {r["media_ref"] for r in rows} == {"a1"}
+    got = {(r["window_index"], r["start_sample"]) for r in rows}
+    assert got == {(0, 0), (1, 2048), (2, 4096)}
+    assert all((r["channels"], r["sample_rate"]) == (2, 16000) for r in rows)
