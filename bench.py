@@ -258,6 +258,7 @@ EAGER_BUILD = {
     "minhash_jaccard_estimate", # persists the signature table
     "dedup_simhash_pairs",      # persists sims + distinct fingerprints
     "ann_ivf_topk",             # persists the IVF assignment
+    "ann_ivf_pq_topk",          # persists codebook + assignment + PQ candidates
     "lm_surprisal",             # persists the vocab model
     "semantic_dedup",           # persists the IVF assignment
     "duplicate_passages",       # persists the positional shingle table
