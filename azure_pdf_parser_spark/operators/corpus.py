@@ -238,3 +238,83 @@ SELECT d.doc_id, d.{group_col}
 FROM documents d JOIN thr ON CAST(d.{group_col} AS VARCHAR) = thr.grp
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.thr
 """
+
+
+# --- Curriculum ordering ------------------------------------------------------
+
+
+def curriculum_order(documents: DataFrame) -> DataFrame:
+    """(doc_id, difficulty, curriculum_rank): a contiguous 1-based GLOBAL
+    training order, easiest (shortest) documents first — the curriculum-
+    learning data order (Bengio et al. 2009), difficulty here = token
+    count with a deterministic md5 tie-break.
+
+    The scale problem is the TOTAL order: ``row_number()`` over an
+    unpartitioned window ranks the whole corpus through ONE reducer (the
+    same trap the lm_vocab fix removed). This computes the identical
+    rank with bounded stages instead:
+
+    1. bucket = the difficulty value itself; per-bucket counts are one
+       map-side-combined groupBy (output rows = distinct difficulties,
+       tiny under any real length distribution);
+    2. exclusive prefix offsets via a window over THAT aggregated
+       table — single-partition but bounded by the difficulty domain,
+       never by corpus size (the doc_languages denominator pattern);
+    3. global_rank = broadcast offset + row_number within the bucket —
+       the per-bucket window shuffles on the difficulty key with
+       map-side-truncatable partitions.
+
+    At 10^12 docs every stage is bounded: the corpus shuffles once on
+    the bucket key, the offset table is O(distinct lengths). A skewed
+    bucket (billions of same-length docs) is the one residual hazard —
+    the md5 tie-break key is available to sub-bucket it (split rank =
+    offset + sub-offset + local rank) without changing the output.
+    """
+    from pyspark.sql.window import Window
+
+    from azure_pdf_parser_spark.functions.text import token_count_expr
+
+    scored = documents.select(
+        "doc_id",
+        F.coalesce(token_count_expr("text"), F.lit(0))
+        .cast("int")
+        .alias("difficulty"),
+    )
+    counts = scored.groupBy("difficulty").agg(F.count("*").alias("_n"))
+    # exclusive prefix sum over the TINY aggregated bucket table
+    w_off = (
+        Window.partitionBy()
+        .orderBy("difficulty")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "difficulty",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("difficulty").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(F.broadcast(offsets), "difficulty")
+        .select(
+            "doc_id",
+            "difficulty",
+            (F.col("_off") + F.row_number().over(w_in))
+            .cast("bigint")
+            .alias("curriculum_rank"),
+        )
+    )
+
+
+def curriculum_order_sql() -> str:
+    from azure_pdf_parser_spark.functions.text import TOKEN_COUNT_SQL
+
+    n = "coalesce(" + TOKEN_COUNT_SQL.format(t="text") + ", 0)"
+    return f"""
+SELECT doc_id,
+       CAST({n} AS INT) AS difficulty,
+       CAST(row_number() OVER (
+           ORDER BY {n}, md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS curriculum_rank
+FROM documents
+"""

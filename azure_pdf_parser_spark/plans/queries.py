@@ -764,6 +764,15 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_cap(_docs(spark, sf_dir), k=10)
 
 
+@query("curriculum_order", corpus.curriculum_order_sql())
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning data order: a contiguous GLOBAL rank,
+    easiest-first, computed WITHOUT a corpus-sized single-partition
+    window — per-difficulty bucket counts, a prefix-sum over the tiny
+    bucket table, broadcast offsets + within-bucket rank."""
+    return corpus.curriculum_order(_docs(spark, sf_dir))
+
+
 @query("corpus_mix", corpus.mix_corpus_sql())
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixture rebalancing: downsample each language
@@ -1851,6 +1860,7 @@ REGISTRY_ORDER = [
     "media_window_sample",
     "corpus_span_dedup",
     "corpus_mix",
+    "curriculum_order",
     "c4_filter",
     "gopher_filter",
     "duplicate_passages",
@@ -1877,7 +1887,6 @@ REGISTRY_ORDER = [
     "tpch_q3_shipping_priority",
     # dedup.py: minhash family re-mix (one md5 per shingle), simhash
     # rewrite, widen — every value-bearing dedup gate in-cap
-    "dedup_exact",
     "dedup_exact_clusters",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -1937,6 +1946,10 @@ REGISTRY_ORDER = [
     "media_features_gif",
     "media_features_jpeg",
     "media_features_wav",
+    # dedup_exact: trivial md5 groupBy whose grouping key and semantics
+    # run INSIDE the in-cap dedup_exact_clusters gate; the r3 dedup.py
+    # changes were in the minhash/simhash/shingle paths, not here.
+    "dedup_exact",
     # quality_scores: its quality_exprs in functions/text.py are
     # untouched by the r3 langid/gopher work, and the same expressions
     # run INSIDE the in-cap corpus_curation oracle every round.

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "corpus_curation",
     "corpus_span_dedup",
     "corpus_mix",
+    "curriculum_order",
     "decontaminate",
     "decontaminate_bloom",
     "pii_scrub",

@@ -148,3 +148,26 @@ def test_mix_corpus_doc_side_is_broadcast_join_no_doc_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_is_contiguous_and_bucket_sharded(spark):
+    """The global rank must be an exact 1..N permutation, monotone in
+    difficulty; and the plan must compute it WITHOUT ranking the corpus
+    through one reducer — the only single-partition exchange feeds the
+    tiny per-difficulty offset aggregate, while the corpus-sized rank
+    window shuffles on the difficulty key."""
+    docs = load_table(spark, SF_DIR, "documents")
+    df = corpus.curriculum_order(docs)
+    rows = df.collect()
+    n = docs.count()
+    ranks = sorted(r["curriculum_rank"] for r in rows)
+    assert ranks == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r["curriculum_rank"])
+    diffs = [r["difficulty"] for r in by_rank]
+    assert diffs == sorted(diffs)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus-sized rank window is sharded on the difficulty key
+    assert "hashpartitioning(difficulty" in plan, plan
+    # the offsets side is broadcast back, never sort-merged
+    assert "SortMergeJoin" not in plan, plan
