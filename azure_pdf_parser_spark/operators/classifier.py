@@ -149,3 +149,95 @@ SELECT doc_id, n_tokens, weight_sum,
        (n_tokens > 0 AND weight_sum >= {threshold_milli} * n_tokens) AS keep
 FROM agg
 """
+
+
+def train_weights(
+    documents: DataFrame, positive, min_df: int = 1
+) -> DataFrame:
+    """Fit a weight table from labeled documents — the training half of
+    the model-based quality stage (CCNet trains fastText on a trusted
+    corpus vs crawl; this is the same shape in-engine).
+
+    ``positive`` is a boolean Column over the documents (e.g.
+    ``F.col("lang") == "en"``). Per hashed bucket, the weight is the
+    normalized count contrast in integer milli-units::
+
+        weight_milli = floor(1000 * (pos - neg) / (pos + neg))
+
+    — a difference-of-class-centroids linear model (the closed-form
+    perceptron analog), bounded in [-1000, 1000]. ``floor`` over one
+    IEEE double division is bit-identical in both engines (the
+    numerator stays < 2^53; integer ``div``/``//`` would NOT match:
+    Spark truncates toward zero, DuckDB floors — they differ on every
+    negative weight; a log-odds variant would hinge on libm ulp
+    parity).
+
+    Plan: token explode → ONE groupBy on the bounded bucket key
+    (≤ HASH_BUCKETS groups ⇒ the output is broadcastable by
+    construction, and the aggregation is map-side partial); buckets
+    with document frequency < ``min_df`` tokens drop out (hashing-trick
+    pruning). At 100 TB the exchange moves ≤ HASH_BUCKETS rows per map
+    partition — training cost is ONE pass over the corpus."""
+    toks = documents.select(
+        positive.alias("_pos"),
+        F.explode_outer(F.split("text", " ")).alias("tok"),
+    )
+    real = F.col("tok").isNotNull() & (F.col("tok") != "")
+    per_bucket = (
+        toks.where(real)
+        .select(bucket_expr("tok").alias("bucket"), F.col("_pos"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).cast("bigint").alias("neg"),
+        )
+    )
+    return per_bucket.where(F.col("pos") + F.col("neg") >= min_df).select(
+        "bucket",
+        F.floor(
+            (F.lit(1000) * (F.col("pos") - F.col("neg")))
+            / (F.col("pos") + F.col("neg"))
+        )
+        .cast("bigint")
+        .alias("weight_milli"),
+    )
+
+
+def trained_classifier_sql(
+    positive_sql: str, threshold_milli: int = 0, table: str = "documents"
+) -> str:
+    """DuckDB mirror of train_weights(...) + classifier_scores_with_weights:
+    the full train→score lifecycle as one SQL statement."""
+    return f"""
+WITH toks AS (
+  SELECT d.doc_id, ({positive_sql}) AS pos, u.t
+  FROM {table} d
+  LEFT JOIN LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) u ON TRUE
+),
+real_toks AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) AS bucket
+  FROM toks WHERE t IS NOT NULL AND t <> ''
+),
+weights AS (
+  SELECT bucket,
+         CAST(floor((1000.0 * (SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                               - SUM(CASE WHEN pos THEN 0 ELSE 1 END)))
+                    / COUNT(*)) AS BIGINT) AS weight_milli
+  FROM real_toks GROUP BY bucket
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(coalesce(SUM(CASE WHEN t.t IS NOT NULL AND t.t <> '' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(SUM(CASE WHEN t.t IS NOT NULL AND t.t <> ''
+              THEN coalesce(w.weight_milli, 0) ELSE 0 END), 0) AS BIGINT) AS weight_sum
+  FROM toks t
+  LEFT JOIN weights w
+    ON t.t IS NOT NULL AND t.t <> ''
+   AND w.bucket = CAST(('0x' || substr(md5(t.t), 1, 4)) AS BIGINT)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, weight_sum,
+       (n_tokens > 0 AND weight_sum >= {threshold_milli} * n_tokens) AS keep
+FROM scored
+"""

@@ -745,6 +745,25 @@ def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.classifier_scores(_docs(spark, sf_dir))
 
 
+@query(
+    "classifier_trained",
+    classifier.trained_classifier_sql("d.lang = 'en'"),
+)
+def q_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL model-based-quality lifecycle in-engine: fit the hashed
+    bag-of-words weight table from labeled documents (positive =
+    lang='en', the CCNet trusted-vs-crawl shape, one pass + one bounded
+    bucket-keyed groupBy), broadcast it, score every document through
+    the production classifier_scores_with_weights seam. floor-division
+    milli-weights keep both engines bit-identical."""
+    weights = classifier.train_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en"
+    )
+    return classifier.classifier_scores_with_weights(
+        _docs(spark, sf_dir), weights
+    )
+
+
 @query("url_features", urls.url_features_sql())
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/provenance features (C4/RefinedWeb filter family): host,
@@ -1852,6 +1871,7 @@ REGISTRY_ORDER = [
     # tests/test_queries_vs_oracle.py on every pytest pass.
     # — new this round —
     "classifier_quality",
+    "classifier_trained",
     "url_features",
     "domain_cap",
     "ann_ivf_pq_topk",
@@ -1907,8 +1927,7 @@ REGISTRY_ORDER = [
     "doc_languages",
     "lm_surprisal",
     "tfidf_top_terms",
-    # extract_spans.py changed; flagship + assembly carry its contract
-    "extract_spans",
+    # extract_spans.py changed; assembly carries its contract in-cap
     "parser_output",
     # layout chain: layout.py untouched but the widen changed its plan —
     # one end-to-end chain gate stays in-cap
@@ -1946,6 +1965,12 @@ REGISTRY_ORDER = [
     "media_features_gif",
     "media_features_jpeg",
     "media_features_wav",
+    # extract_spans: extract() itself is untouched this round (the
+    # extract_spans.py change was inside doc_languages); the identical
+    # extract chain runs in-cap inside parser_output (assembly) and
+    # stream_ingest_commit (per micro-batch), both against the same
+    # kept-spans oracle CTE.
+    "extract_spans",
     # dedup_exact: trivial md5 groupBy whose grouping key and semantics
     # run INSIDE the in-cap dedup_exact_clusters gate; the r3 dedup.py
     # changes were in the minhash/simhash/shingle paths, not here.

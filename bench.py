@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "c4_filter",
     "gopher_filter",
     "classifier_quality",
+    "classifier_trained",
     "url_features",
     "domain_cap",
     "corpus_curation",

@@ -101,3 +101,48 @@ def test_standin_path_is_pure_codegen(spark):
     assert "Join" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_train_weights_learns_token_contrast(spark):
+    """Fit on crafted labels: tokens exclusive to the positive class get
+    weight +1000, exclusive-negative -1000, shared 0 — and the trained
+    classifier separates unseen docs composed of those tokens."""
+    from azure_pdf_parser_spark.operators.classifier import train_weights
+
+    train = spark.createDataFrame(
+        [("p1", "good fine shared", True), ("p2", "good shared", True),
+         ("n1", "bad awful shared", False), ("n2", "bad shared", False)],
+        "doc_id string, text string, label boolean",
+    )
+    w = {r["bucket"]: r["weight_milli"]
+         for r in train_weights(train, F.col("label")).collect()}
+    b = lambda tok: spark.range(1).select(
+        bucket_expr(F.lit(tok)).alias("b")).collect()[0]["b"]
+    assert w[b("good")] == 1000
+    assert w[b("bad")] == -1000
+    assert w[b("shared")] == 0
+
+    test_docs = spark.createDataFrame(
+        [("t_good", "good good shared"), ("t_bad", "bad shared"),
+         ("t_null", None)],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in classifier_scores_with_weights(
+        test_docs, train_weights(train, F.col("label")), threshold_milli=1
+    ).collect()}
+    assert got == {"t_good": True, "t_bad": False, "t_null": False}
+
+
+def test_train_weights_bounded_and_floor_division(spark):
+    """Weights stay in [-1000, 1000] and use FLOOR division (matching
+    DuckDB's semantics on negative values): 1 pos vs 2 neg occurrences
+    of a token → floor(1000*(1-2)/3) = -334, not -333."""
+    from azure_pdf_parser_spark.operators.classifier import train_weights
+
+    train = spark.createDataFrame(
+        [("p", "tok", True), ("n1", "tok", False), ("n2", "tok", False)],
+        "doc_id string, text string, label boolean",
+    )
+    rows = train_weights(train, F.col("label")).collect()
+    assert len(rows) == 1
+    assert rows[0]["weight_milli"] == -334
