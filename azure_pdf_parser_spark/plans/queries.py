@@ -31,7 +31,7 @@ from azure_pdf_parser_spark.operators import (
     dedup,
     extract_spans,
 )
-from azure_pdf_parser_spark.operators import classifier
+from azure_pdf_parser_spark.operators import bpe, classifier
 from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import urls
 from azure_pdf_parser_spark.operators import packing, sampling
@@ -762,6 +762,36 @@ def q_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.classifier_scores_with_weights(
         _docs(spark, sf_dir), weights
     )
+
+
+@query("bpe_pair_counts", bpe.BPE_PAIR_COUNTS_SQL)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training step-0 statistics: top-100 adjacent character pairs
+    by corpus-frequency-weighted count — one corpus scan into the
+    distinct-word table, pair explode over distinct words only,
+    TakeOrderedAndProject top-k (operators/bpe.py)."""
+    return bpe.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@query("bpe_train", bpe.BPE_TRAIN_SQL)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: the learned merge table
+    (step, lhs, rhs, merged, pair_count). The oracle replays the exact
+    iterative algorithm as a recursive CTE whose per-step argmax
+    aggregates the working word table and whose merge apply is a
+    list_reduce fold with the same greedy-leftmost semantics as the
+    engine's JVM `aggregate` lambda (operators/bpe.py)."""
+    return bpe.bpe_train(_docs(spark, sf_dir))
+
+
+@query("bpe_encode", bpe.BPE_ENCODE_SQL)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: train on the corpus, then encode every
+    document — (doc_id, n_words, n_bpe_tokens, stream_md5) where
+    stream_md5 pins the exact token segmentation, not just counts.
+    Encode is one mapInPandas pass with the O(n_merges) rank table in
+    the closure and a per-batch unique-word cache (operators/bpe.py)."""
+    return bpe.bpe_encode(_docs(spark, sf_dir))
 
 
 @query("url_features", urls.url_features_sql())
@@ -1870,6 +1900,9 @@ REGISTRY_ORDER = [
     # capped or not — also runs against its oracle in
     # tests/test_queries_vs_oracle.py on every pytest pass.
     # — new this round —
+    "bpe_train",
+    "bpe_encode",
+    "bpe_pair_counts",
     "classifier_quality",
     "classifier_trained",
     "url_features",
@@ -1910,11 +1943,8 @@ REGISTRY_ORDER = [
     "dedup_exact_clusters",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "minhash_jaccard_estimate",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_neardup_clusters",
-    "dedup_neardup_canonical",
     "fingerprint_winnow",
     # contamination.py refactored around the bloom path
     "decontaminate",
@@ -1975,6 +2005,19 @@ REGISTRY_ORDER = [
     # run INSIDE the in-cap dedup_exact_clusters gate; the r3 dedup.py
     # changes were in the minhash/simhash/shingle paths, not here.
     "dedup_exact",
+    # minhash_jaccard_estimate: the same persisted signature table is
+    # exercised in-cap by dedup_minhash_lsh and minhash_bucketed_pairs;
+    # the agreement-fraction estimate itself is a projection over it,
+    # oracle-checked every pytest run.
+    "minhash_jaccard_estimate",
+    # dedup_simhash: the identical signature build (same 128-bit
+    # fingerprint expressions) runs in-cap as the first stage of
+    # dedup_simhash_pairs; the standalone gate adds only a projection.
+    "dedup_simhash",
+    # dedup_neardup_canonical: same CC core (pointer-jumping label
+    # propagation) runs in-cap in dedup_neardup_clusters; the canonical
+    # pick is a min-window projection, oracle-checked every pytest run.
+    "dedup_neardup_canonical",
     # quality_scores: its quality_exprs in functions/text.py are
     # untouched by the r3 langid/gopher work, and the same expressions
     # run INSIDE the in-cap corpus_curation oracle every round.

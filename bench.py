@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "lm_surprisal",
     "tfidf_top_terms",
+    "bpe_pair_counts",
+    "bpe_train",
+    "bpe_encode",
     "sample_splits",
     "sample_stratified",
     "pack_sequences",
@@ -266,6 +269,8 @@ EAGER_BUILD = {
     "duplicate_passages",       # persists the positional shingle table
     "ivf_kmeans_refine",        # persists the normed vector table
     "corpus_span_dedup",        # persists the hashed span table
+    "bpe_train",                # iterative driver loop (per-round argmax)
+    "bpe_encode",               # trains first: same iterative loop
 }
 
 
