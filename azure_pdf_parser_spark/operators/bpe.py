@@ -60,13 +60,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from azure_pdf_parser_spark.operators.lm import TOKEN_PATTERN as _WORD_PATTERN
+
 N_MERGES = 12
 MIN_PAIR_COUNT = 2
 PAIR_TOP_K = 100
 
-_WORD_PATTERN = "[a-z]+"
 _WORD_RE = re.compile(_WORD_PATTERN)
-_TOKEN_OK_RE = re.compile(r"^[a-z]+$")
+_TOKEN_OK_RE = re.compile(r"[a-z]+\Z")
 
 
 def word_counts(documents: DataFrame, max_words: int | None = None) -> DataFrame:
@@ -213,11 +214,16 @@ def bpe_train(
 def merge_ranks(
     merges: list[tuple[int, str, str, str, int]],
 ) -> dict[tuple[str, str], int]:
-    """Pair → rank. A TRAINED list never repeats a pair (once merged,
+    """Pair → rank. Contract: the list must be CAUSAL — every pair's
+    tokens exist before the merge is learned, as any trained list is by
+    construction (and a trained list never repeats a pair: once merged,
     a pair's adjacencies are gone and cannot be recreated — new
-    adjacencies always involve the new token), but for robustness with
-    hand-built lists the FIRST occurrence wins: rank order must mirror
-    sequential replay order."""
+    adjacencies always involve the new token). Under that contract,
+    rank-based encoding equals sequential replay. A hand-built
+    ANTI-causal list (a merge referencing a token a later merge
+    creates) is out of contract: rank-based encoding would fire the
+    later-created token's merge where sequential replay would not.
+    Duplicate pairs keep the FIRST rank, mirroring replay order."""
     ranks: dict[tuple[str, str], int] = {}
     for i, (_, lhs, rhs, _, _) in enumerate(merges):
         ranks.setdefault((lhs, rhs), i)

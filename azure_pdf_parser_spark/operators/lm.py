@@ -29,11 +29,11 @@ VOCAB_SIZE = 1 << 20
 # ASCII letter runs over lowercased text: `lower` is Unicode-aware in
 # both Spark and DuckDB, and the ASCII class sidesteps the Java-vs-RE2
 # word-boundary divergence entirely.
-_TOKEN_PATTERN = "[a-z]+"
+TOKEN_PATTERN = "[a-z]+"
 
 
 def _doc_tokens(documents: DataFrame) -> DataFrame:
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_PATTERN), 0)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
     return documents.select(
         "doc_id", F.explode_outer(toks).alias("token")
     ).where(F.col("token").isNotNull())
@@ -113,7 +113,7 @@ WITH toks AS (
     SELECT d.doc_id, t.token
     FROM documents d
     CROSS JOIN LATERAL (
-        SELECT UNNEST(regexp_extract_all(lower(d.text), '{_TOKEN_PATTERN}')) AS token
+        SELECT UNNEST(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS token
     ) t
 ),
 counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
@@ -186,7 +186,7 @@ WITH toks AS (
     SELECT d.doc_id, t.token
     FROM documents d
     CROSS JOIN LATERAL (
-        SELECT UNNEST(regexp_extract_all(lower(d.text), '{_TOKEN_PATTERN}')) AS token
+        SELECT UNNEST(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS token
     ) t
 ),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),

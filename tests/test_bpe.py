@@ -121,8 +121,7 @@ ADVERSARIAL = [
 def test_merge_apply_expr_matches_greedy(spark):
     """The JVM `aggregate` fold must merge greedy leftmost-first,
     exactly like the Python reference, on the adversarial shapes."""
-    rows = [(i, syms) for i, (syms, _) in enumerate(ADVERSARIAL)]
-    for (syms, (a, b)), (i, _) in zip(ADVERSARIAL, rows):
+    for i, (syms, (a, b)) in enumerate(ADVERSARIAL):
         df = spark.createDataFrame([(i, syms)], "id int, symbols array<string>")
         got = df.select(
             bpe._merge_apply_expr(a, b, a + b).alias("symbols")
