@@ -333,6 +333,25 @@ def bpe_encode(
     )
 
 
+def save_merges(merges_df: DataFrame, path: str) -> None:
+    """Persist a trained merge table — the tokenizer model artifact.
+    O(n_merges) rows, so one file: the production layout is a tiny
+    versioned table next to the corpus it was trained on (Iceberg in
+    production, parquet here — the ann.save_ivf_index convention)."""
+    merges_df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[int, str, str, str, int]]:
+    """Reload a persisted merge table into the driver-side list
+    :func:`bpe_encode_with` consumes. The collect is bounded by
+    construction (O(n_merges) — the model IS driver-sized; that is
+    what makes the encode stage's closure broadcast-free)."""
+    rows = spark.read.parquet(path).orderBy("step").collect()
+    return [
+        (r.step, r.lhs, r.rhs, r.merged, int(r.pair_count)) for r in rows
+    ]
+
+
 # --- DuckDB oracles -----------------------------------------------------------
 #
 # The train/encode oracles replay the EXACT iterative algorithm in SQL:

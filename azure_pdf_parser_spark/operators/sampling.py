@@ -112,3 +112,78 @@ SELECT * FROM documents
 QUALIFY row_number() OVER (PARTITION BY {stratum_col} ORDER BY {b}, doc_id)
         <= ceil(count(*) OVER (PARTITION BY {stratum_col}) * {fraction})
 """
+
+
+# --- quality-weighted (importance) sampling ------------------------------------
+
+def quality_weighted_sample(documents: DataFrame) -> DataFrame:
+    """(doc_id, p_permille, sampled): per-doc keep probability
+    proportional to model-based quality, decided deterministically —
+    the DCLM/FineWeb-style importance-sampling step that keeps MOST
+    high-quality docs and a thin slice of low-quality ones instead of a
+    hard threshold.
+
+    p_permille maps the classifier's mean milli-weight linearly into
+    [0, 1000]: mean −1000 → 0‰, 0 → 500‰, +1000 → 1000‰, token-less
+    docs → 0‰. Integer-exact everywhere the engines could disagree:
+    one IEEE double division under floor() (the train_weights
+    precedent — the 500·weight_sum numerator stays far below 2^53),
+    and the sampling decision is a pure-integer cross-multiply
+
+        bucket16 · 1000 < p_permille · 65536
+
+    over the md5 prefix bucket (growth-stable, RNG-free — the
+    hash_sample contract), so p_permille = 1000 keeps EVERY bucket
+    including 0xffff (the fraction ≥ 1.0 lesson). Map-only on top of
+    the classifier's per-doc aggregate: no new shuffle, no RNG, and a
+    re-run or corpus growth never flips an existing doc's decision.
+    """
+    from azure_pdf_parser_spark.operators.classifier import classifier_scores
+
+    scored = classifier_scores(documents)
+    p = (
+        F.when(
+            F.col("n_tokens") > 0,
+            F.least(
+                F.lit(1000),
+                F.greatest(
+                    F.lit(0),
+                    F.lit(500)
+                    + F.floor(
+                        F.lit(500) * F.col("weight_sum")
+                        / (F.lit(1000.0) * F.col("n_tokens"))
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    bucket16 = F.conv(bucket_col(F.col("doc_id")), 16, 10).cast("bigint")
+    return scored.select(
+        "doc_id",
+        p.alias("p_permille"),
+        (bucket16 * F.lit(1000) < p.cast("bigint") * F.lit(65536)).alias(
+            "sampled"
+        ),
+    )
+
+
+def quality_weighted_sample_sql() -> str:
+    from azure_pdf_parser_spark.operators.classifier import classifier_sql
+
+    return f"""
+WITH base AS ({classifier_sql()}),
+p AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_tokens > 0 THEN
+           least(1000, greatest(0,
+             500 + CAST(floor(500 * weight_sum / (1000.0 * n_tokens)) AS BIGINT)))
+         ELSE 0 END AS INT) AS p_permille
+  FROM base
+)
+SELECT doc_id, p_permille,
+       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) * 1000
+        < CAST(p_permille AS BIGINT) * 65536) AS sampled
+FROM p
+"""

@@ -794,6 +794,38 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(_docs(spark, sf_dir))
 
 
+@query("bpe_lifecycle", bpe.BPE_ENCODE_SQL)
+def q_bpe_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer LIFECYCLE: train the merge table, persist it
+    (the model artifact), reload it, and encode through the production
+    :func:`bpe_encode_with` seam — same oracle as bpe_encode, proving
+    the persisted model reproduces the in-memory training run exactly
+    (pattern: ann_ivf_lifecycle). The reload collects O(n_merges) rows
+    eagerly, so the returned plan has no dependency on the temp dir."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bpe_lifecycle_gate_")
+    try:
+        path = os.path.join(tmp, "merges")
+        bpe.save_merges(bpe.bpe_train(docs), path)
+        merges = bpe.load_merges(spark, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return bpe.bpe_encode_with(docs, merges)
+
+
+@query("quality_weighted_sample", sampling.quality_weighted_sample_sql())
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional importance sampling (DCLM/FineWeb shape):
+    classifier mean milli-weight → keep probability in permille →
+    deterministic md5-bucket decision, integer-exact cross-multiply.
+    Map-only on top of the classifier aggregate; growth-stable and
+    RNG-free like the rest of the sampling suite."""
+    return sampling.quality_weighted_sample(_docs(spark, sf_dir))
+
+
 @query("url_features", urls.url_features_sql())
 def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/provenance features (C4/RefinedWeb filter family): host,
@@ -1903,6 +1935,8 @@ REGISTRY_ORDER = [
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",
+    "bpe_lifecycle",
+    "quality_weighted_sample",
     "classifier_quality",
     "classifier_trained",
     "url_features",
@@ -1945,9 +1979,6 @@ REGISTRY_ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_neardup_clusters",
-    "fingerprint_winnow",
-    # contamination.py refactored around the bloom path
-    "decontaminate",
     # functions/pdf.py: indirect-/Length + /EarlyChange quarantine fixes
     "pdf_parse",
     "pdf_split_parse",
@@ -2018,6 +2049,17 @@ REGISTRY_ORDER = [
     # propagation) runs in-cap in dedup_neardup_clusters; the canonical
     # pick is a min-window projection, oracle-checked every pytest run.
     "dedup_neardup_canonical",
+    # fingerprint_winnow: its positional shingle-hash ladder is
+    # independent of the r3 minhash signature re-mix (which changed
+    # signature mixing, not positional hashes); the shared shingle
+    # builder is exercised in-cap by dedup_ngram_jaccard and
+    # dedup_minhash_lsh, and winnow itself is oracle-checked every
+    # pytest run.
+    "fingerprint_winnow",
+    # decontaminate: superseded by the strictly-stronger in-cap
+    # decontaminate_bloom, which runs the same exact 13-gram confirm
+    # join behind the bloom prefilter against the same oracle family.
+    "decontaminate",
     # quality_scores: its quality_exprs in functions/text.py are
     # untouched by the r3 langid/gopher work, and the same expressions
     # run INSIDE the in-cap corpus_curation oracle every round.

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "bpe_train",
     "bpe_encode",
+    "bpe_lifecycle",
+    "quality_weighted_sample",
     "sample_splits",
     "sample_stratified",
     "pack_sequences",
@@ -271,6 +273,7 @@ EAGER_BUILD = {
     "corpus_span_dedup",        # persists the hashed span table
     "bpe_train",                # iterative driver loop (per-round argmax)
     "bpe_encode",               # trains first: same iterative loop
+    "bpe_lifecycle",            # trains + persists: same iterative loop
 }
 
 

@@ -220,3 +220,24 @@ def test_train_stops_when_pairs_exhaust(spark):
     )
     assert bpe.bpe_train_merges(docs) == []
     assert bpe.bpe_train(docs).count() == 0
+
+
+def test_merge_table_save_load_roundtrip(spark, tmp_path):
+    """The persisted tokenizer model reloads bit-identically and
+    encodes identically through bpe_encode_with — the lifecycle seam
+    the bpe_lifecycle gate drives end-to-end."""
+    docs = spark.read.parquet(DOCS)
+    trained = bpe.bpe_train_merges(docs)
+    path = str(tmp_path / "merges")
+    bpe.save_merges(spark.createDataFrame(trained, bpe._MERGES_SCHEMA), path)
+    loaded = bpe.load_merges(spark, path)
+    assert loaded == trained
+    direct = {
+        r.doc_id: r.stream_md5
+        for r in bpe.bpe_encode_with(docs, trained).collect()
+    }
+    via_disk = {
+        r.doc_id: r.stream_md5
+        for r in bpe.bpe_encode_with(docs, loaded).collect()
+    }
+    assert via_disk == direct

@@ -91,3 +91,52 @@ def test_full_fraction_sampling_exact(spark):
     }
     assert "train" not in splits
     assert splits["test"] + splits["val"] == 70000
+
+
+def test_quality_weighted_sample_bounds_and_full_keep(spark):
+    """p_permille stays in [0,1000]; a doc driven to p=1000 is sampled
+    regardless of its bucket (including 0xffff — the full-fraction
+    lesson), and a token-less doc gets p=0 and is never sampled."""
+    from azure_pdf_parser_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in quality_weighted_sample(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert 0 <= r.p_permille <= 1000
+    assert rows[2].p_permille == 0 and not rows[2].sampled
+    # p = 1000 must include EVERY bucket: max bucket 0xffff = 65535,
+    # 65535 * 1000 < 1000 * 65536 holds strictly
+    assert 65535 * 1000 < 1000 * 65536
+
+
+def test_quality_weighted_sample_is_deterministic_and_growth_stable(spark):
+    """Adding documents must not flip an existing doc's decision —
+    the hash_sample contract carried over to importance sampling."""
+    from azure_pdf_parser_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    small = spark.createDataFrame(
+        [(i, f"stable words {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    grown = spark.createDataFrame(
+        [(i, f"stable words {i}") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    before = {
+        r.doc_id: (r.p_permille, r.sampled)
+        for r in quality_weighted_sample(small).collect()
+    }
+    after = {
+        r.doc_id: (r.p_permille, r.sampled)
+        for r in quality_weighted_sample(grown).collect()
+    }
+    for doc_id, v in before.items():
+        assert after[doc_id] == v
