@@ -31,7 +31,7 @@ from azure_pdf_parser_spark.operators import (
     dedup,
     extract_spans,
 )
-from azure_pdf_parser_spark.operators import bpe, classifier
+from azure_pdf_parser_spark.operators import bpe, classifier, graph
 from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import urls
 from azure_pdf_parser_spark.operators import packing, sampling
@@ -843,6 +843,17 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot domain moves n_partitions*k rows through the one domain-keyed
     exchange, never its full page count."""
     return urls.domain_cap(_docs(spark, sf_dir), k=10)
+
+
+@query("link_pagerank", graph.pagerank_sql())
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier authority scoring: fixed-iteration integer
+    PageRank over the deterministic link-graph seam (production seam:
+    href edges off the crawl record). Per iteration one src-keyed rank
+    join + one dst-keyed partial-sum groupBy; edge table degree-
+    annotated and checkpointed once; all arithmetic int64 fixed-point
+    so the DuckDB unrolled-CTE oracle is bit-exact."""
+    return graph.pagerank_documents(_docs(spark, sf_dir))
 
 
 @query("curriculum_order", corpus.curriculum_order_sql())
@@ -1932,6 +1943,7 @@ REGISTRY_ORDER = [
     # capped or not — also runs against its oracle in
     # tests/test_queries_vs_oracle.py on every pytest pass.
     # — new this round —
+    "link_pagerank",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "corpus_stats_rollup",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "link_pagerank",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the
@@ -274,6 +275,7 @@ EAGER_BUILD = {
     "bpe_train",                # iterative driver loop (per-round argmax)
     "bpe_encode",               # trains first: same iterative loop
     "bpe_lifecycle",            # trains + persists: same iterative loop
+    "link_pagerank",            # iterative driver loop (per-round localCheckpoint)
 }
 
 
