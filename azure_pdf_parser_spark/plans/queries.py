@@ -31,7 +31,7 @@ from azure_pdf_parser_spark.operators import (
     dedup,
     extract_spans,
 )
-from azure_pdf_parser_spark.operators import bpe, classifier, graph
+from azure_pdf_parser_spark.operators import bpe, classifier, graph, sketches
 from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import urls
 from azure_pdf_parser_spark.operators import packing, sampling
@@ -854,6 +854,17 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotated and checkpointed once; all arithmetic int64 fixed-point
     so the DuckDB unrolled-CTE oracle is bit-exact."""
     return graph.pagerank_documents(_docs(spark, sf_dir))
+
+
+@query("hll_distinct", sketches.HLL_DISTINCT_SQL)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-token cardinality per source:
+    the register table is a mergeable max-groupBy sketch whose exchange
+    carries ≤ groups×256 rows regardless of corpus size — the scale
+    replacement for COUNT(DISTINCT)'s full token shuffle. All-integer
+    md5 construction → bit-exact oracle; exact count + permille error
+    reported alongside (test-scale verification columns)."""
+    return sketches.hll_distinct_tokens(_docs(spark, sf_dir))
 
 
 @query("curriculum_order", corpus.curriculum_order_sql())
@@ -1944,6 +1955,7 @@ REGISTRY_ORDER = [
     # tests/test_queries_vs_oracle.py on every pytest pass.
     # — new this round —
     "link_pagerank",
+    "hll_distinct",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "link_pagerank",
+    "hll_distinct",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the

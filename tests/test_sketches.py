@@ -1,0 +1,57 @@
+"""HLL sketch properties (gate parity is covered by
+tests/test_queries_vs_oracle.py::test_query_matches_oracle[hll_distinct])."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azure_pdf_parser_spark.operators import sketches
+from tests.conftest import SF_DIR
+
+
+def _items(spark, lo, hi, grp="g"):
+    return spark.range(lo, hi).select(
+        F.lit(grp).alias("grp_col"), F.concat(F.lit("tok"), "id").alias("item")
+    )
+
+
+def test_sketch_merge_equals_sketch_of_union(spark):
+    """The register table must be mergeable: max-merging the sketches
+    of two shards equals the sketch of the concatenated shard — the
+    property that lets a 100 TB pipeline keep per-day sketches and
+    never rescan."""
+    a = sketches.hll_registers(_items(spark, 0, 3000), "grp_col", "item")
+    b = sketches.hll_registers(_items(spark, 2000, 6000), "grp_col", "item")
+    merged = (
+        a.unionByName(b)
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = sketches.hll_registers(_items(spark, 0, 6000), "grp_col", "item")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_estimate_within_hll_error_band(spark):
+    """Raw HLL at m=256 has ~6.5% standard error; demand <20% (≈3σ)
+    on a 10k-item set — loose enough to be stable, tight enough to
+    catch a broken rho/register construction."""
+    regs = sketches.hll_registers(_items(spark, 0, 10_000), "grp_col", "item")
+    est = sketches.hll_estimate(regs).collect()[0].hll_estimate
+    assert abs(est - 10_000) / 10_000 < 0.20, est
+
+
+def test_register_table_is_one_exchange(spark):
+    """The sketch build must be a single partial-agg groupBy: its
+    exchange carries ≤ groups×256 rows — the entire point vs
+    COUNT(DISTINCT)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    from tests.test_physical_plans import _nodes, _plan
+
+    nodes = _nodes(_plan(sketches.hll_registers(tok, "source", "token")))
+    assert nodes.count("Exchange") == 1, nodes
+    assert "HashAggregate" in nodes, nodes
