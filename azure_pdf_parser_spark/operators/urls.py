@@ -187,3 +187,139 @@ SELECT doc_id, url, host,
        ({blocked}) AS blocked
 FROM parts
 """
+
+
+# --- URL canonicalization -----------------------------------------------------
+
+# tracking params stripped by canonicalization (C4/CCNet-style URL
+# dedup normalizes before hashing; production seam: a fuller param
+# blocklist table, same column contract)
+_TRACKING_PREFIX = "utm_"
+
+
+def synthesize_messy_url(doc_id: Column, source: Column) -> Column:
+    """Derivation seam for :func:`url_canonicalize`: the
+    :func:`synthesize_url` URL made deliberately non-canonical by
+    nibbles of a SECOND hash — upper-cased scheme+host (~1/2), an
+    appended query with hash-ordered params including a tracking param
+    (~1/2) and a ref param (~1/4), and a fragment (~1/2) — so every
+    canonicalization rule has both outcomes to verify against.
+    Mirrored verbatim in :data:`MESSY_URL_SQL_CTE`."""
+    base = synthesize_url(doc_id, source)
+    h2 = F.md5(F.concat(doc_id.cast("string"), F.lit(":urlq")))
+    upper_host = F.conv(_nib(h2, 1), 16, 10).cast("int") < 8
+    with_utm = F.conv(_nib(h2, 2), 16, 10).cast("int") < 8
+    with_ref = F.conv(_nib(h2, 3), 16, 10).cast("int") < 4
+    reversed_order = F.conv(_nib(h2, 4), 16, 10).cast("int") < 8
+    with_frag = F.conv(_nib(h2, 5), 16, 10).cast("int") < 8
+
+    cased = F.when(
+        upper_host,
+        F.concat(
+            F.upper(F.regexp_extract(base, r"^([^/]*//[^/]+)", 1)),
+            F.regexp_replace(base, r"^[^/]*//[^/]+", ""),
+        ),
+    ).otherwise(base)
+    empty = F.array().cast("array<string>")
+    id_p = F.array(F.concat(F.lit("id="), doc_id.cast("string")))
+    utm_p = F.when(with_utm, F.array(F.lit("utm_source=news"))).otherwise(empty)
+    ref_p = F.when(with_ref, F.array(F.lit("ref=z"))).otherwise(empty)
+    params = F.when(
+        reversed_order, F.concat(utm_p, ref_p, id_p)
+    ).otherwise(F.concat(id_p, ref_p, utm_p))
+    return F.concat(
+        cased,
+        F.lit("?"),
+        F.array_join(params, "&"),
+        F.when(with_frag, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+MESSY_URL_SQL_CTE = f"""
+messy AS (
+    SELECT doc_id, source,
+           CASE WHEN CAST(('0x' || substr(h2, 1, 1)) AS INT) < 8
+                THEN upper(regexp_extract(url, '^([^/]*//[^/]+)', 1))
+                     || regexp_replace(url, '^[^/]*//[^/]+', '')
+                ELSE url END
+           || '?'
+           || array_to_string(
+                CASE WHEN CAST(('0x' || substr(h2, 4, 1)) AS INT) < 8
+                     THEN list_concat(list_concat(utm_p, ref_p), id_p)
+                     ELSE list_concat(list_concat(id_p, ref_p), utm_p)
+                END, '&')
+           || CASE WHEN CAST(('0x' || substr(h2, 5, 1)) AS INT) < 8
+                   THEN '#sec' ELSE '' END AS url
+    FROM (
+        SELECT doc_id, source, url, h2,
+               ['id=' || CAST(doc_id AS VARCHAR)] AS id_p,
+               CASE WHEN CAST(('0x' || substr(h2, 2, 1)) AS INT) < 8
+                    THEN ['utm_source=news'] ELSE []::VARCHAR[] END AS utm_p,
+               CASE WHEN CAST(('0x' || substr(h2, 3, 1)) AS INT) < 4
+                    THEN ['ref=z'] ELSE []::VARCHAR[] END AS ref_p
+        FROM (SELECT doc_id, source, {URL_SQL} AS url,
+                     md5(CAST(doc_id AS VARCHAR) || ':urlq') AS h2
+              FROM (SELECT doc_id, source,
+                           md5(CAST(doc_id AS VARCHAR) || ':url') AS h
+                    FROM documents))
+    )
+)
+"""
+
+
+def canonicalize_expr(url: Column) -> Column:
+    """Canonical form of any URL column: drop the fragment, lowercase
+    scheme+host, drop ``utm_*`` tracking params, sort the surviving
+    query params. Pure codegen string/array ops — map-only, the same
+    pass-through shape as :func:`url_features`."""
+    no_frag = F.split(url, "#")[0]
+    base = F.split(no_frag, r"\?")[0]
+    query = F.get(F.split(no_frag, r"\?"), 1)
+    lowered = F.concat(
+        F.lower(F.regexp_extract(base, r"^([^/]*//[^/]+)", 1)),
+        F.regexp_replace(base, r"^[^/]*//[^/]+", ""),
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda x: (~x.startswith(_TRACKING_PREFIX)) & (x != ""),
+        )
+    )
+    return F.when(F.size(kept) > 0, F.concat(lowered, F.lit("?"), F.array_join(kept, "&"))).otherwise(lowered)
+
+
+def url_canonicalize(documents: DataFrame) -> DataFrame:
+    """(doc_id, url, canonical_url): the URL-dedup normalization pass.
+    Map-only, zero exchange (plan-pinned) — at any corpus size this
+    fuses into the scan like the other provenance features."""
+    url = synthesize_messy_url(F.col("doc_id"), F.col("source"))
+    return documents.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        "url",
+        canonicalize_expr(F.col("url")).alias("canonical_url"),
+    )
+
+
+def url_canonicalize_sql() -> str:
+    return f"""
+WITH {MESSY_URL_SQL_CTE.strip()},
+split AS (
+    SELECT doc_id, url,
+           split_part(split_part(url, '#', 1), '?', 1) AS base,
+           split_part(split_part(url, '#', 1), '?', 2) AS query
+    FROM messy
+),
+canon AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(base, '^([^/]*//[^/]+)', 1))
+             || regexp_replace(base, '^[^/]*//[^/]+', '') AS lowered,
+           list_sort(list_filter(string_split(query, '&'),
+               x -> NOT starts_with(x, '{_TRACKING_PREFIX}') AND x <> '')) AS kept
+    FROM split
+)
+SELECT doc_id, url,
+       CASE WHEN len(kept) > 0
+            THEN lowered || '?' || array_to_string(kept, '&')
+            ELSE lowered END AS canonical_url
+FROM canon
+"""

@@ -867,6 +867,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_distinct_tokens(_docs(spark, sf_dir))
 
 
+@query("url_canonicalize", urls.url_canonicalize_sql())
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the normalize-before-hash pass of URL
+    dedup): fragment strip, scheme+host lowercase, tracking-param drop,
+    query-param sort — pure codegen string/array ops, map-only, zero
+    exchange (plan-pinned). Runs on a deliberately-messy synthesized
+    URL seam so every rule has both outcomes under oracle."""
+    return urls.url_canonicalize(_docs(spark, sf_dir))
+
+
 @query("curriculum_order", corpus.curriculum_order_sql())
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning data order: a contiguous GLOBAL rank,
@@ -1956,6 +1966,7 @@ REGISTRY_ORDER = [
     # — new this round —
     "link_pagerank",
     "hll_distinct",
+    "url_canonicalize",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

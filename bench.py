@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "link_pagerank",
     "hll_distinct",
+    "url_canonicalize",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the

@@ -81,3 +81,51 @@ def test_domain_cap_plan_has_window_group_limit(spark):
     plan = _plan(domain_cap(_docs(spark), k=5))
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_url_canonicalize_is_map_only(spark):
+    from azure_pdf_parser_spark.operators.urls import url_canonicalize
+
+    plan = _plan(url_canonicalize(_docs(spark)))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_canonicalize_expr_semantics(spark):
+    from azure_pdf_parser_spark.operators.urls import canonicalize_expr
+
+    cases = spark.createDataFrame(
+        [
+            # fragment dropped, host lowered, utm dropped, params sorted
+            ("HTTPS://Ex.COM/P/a.html?utm_source=n&b=2&a=1#frag",
+             "https://ex.com/P/a.html?a=1&b=2"),
+            # all params tracking → no '?'
+            ("https://ex.com/x?utm_a=1&utm_b=2", "https://ex.com/x"),
+            # no query, no fragment → unchanged
+            ("https://ex.com/x", "https://ex.com/x"),
+            # path case preserved (only scheme+host lowercase)
+            ("HTTP://A.B/KeepCase?z=1", "http://a.b/KeepCase?z=1"),
+        ],
+        "url string, expected string",
+    )
+    rows = cases.select(
+        "expected", canonicalize_expr(F.col("url")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r.got == r.expected, (r.got, r.expected)
+
+
+def test_canonicalize_is_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the property
+    URL-dedup relies on when re-normalizing an already-clean corpus."""
+    from azure_pdf_parser_spark.operators.urls import (
+        canonicalize_expr,
+        url_canonicalize,
+    )
+
+    df = url_canonicalize(_docs(spark))
+    twice = df.select(
+        "canonical_url",
+        canonicalize_expr(F.col("canonical_url")).alias("again"),
+    )
+    assert twice.where(F.col("again") != F.col("canonical_url")).count() == 0
