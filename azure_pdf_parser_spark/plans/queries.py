@@ -38,6 +38,7 @@ from azure_pdf_parser_spark.operators import packing, sampling
 from azure_pdf_parser_spark.operators import events as events_ops
 from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
 from azure_pdf_parser_spark.sources import htmlize, layoutize, pdfize
+from azure_pdf_parser_spark.streaming.stream_join import ATTRIBUTION_SQL
 from azure_pdf_parser_spark.sources.spanize import (
     BOILERPLATE_SQL_PREDICATE,
     SPANIZE_SQL_CTE,
@@ -1332,6 +1333,47 @@ def q_stream_ingest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("stream_attribution_join", ATTRIBUTION_SQL)
+def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (view→click attribution):
+    both sides arrive as streams, state keyed on user_id and EVICTED by
+    watermark + the range condition (bounded-state contract pinned by
+    tests/test_stream_join.py). With a far-behind watermark the drained
+    availableNow result must equal the plain SQL interval join — the
+    registered oracle is exactly that SQL (ATTRIBUTION_SQL)."""
+    import shutil
+    import tempfile
+
+    from azure_pdf_parser_spark.streaming.stream_join import (
+        start_attribution_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_join_gate_")
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), f"{in_dir}/part-000.parquet"
+        )
+        q = start_attribution_stream(
+            spark, in_dir, out_dir, ckpt, watermark_delay="3650 days"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_attribution_join gate: availableNow stream did not "
+                "drain in 300s"
+            )
+        return _detach(
+            spark,
+            spark.read.parquet(out_dir).select(
+                "click_id", "view_id", "user_id", "lag_seconds"
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query(
     "stream_dedup_exact",
     "SELECT DISTINCT coalesce(md5(text), '<null>') AS content_md5, text FROM documents",
@@ -1967,6 +2009,7 @@ REGISTRY_ORDER = [
     "link_pagerank",
     "hll_distinct",
     "url_canonicalize",
+    "stream_attribution_join",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

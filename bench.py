@@ -161,6 +161,11 @@ EXCLUDED_QUERIES = {
         "band index under a temp dir; the probe join it exercises is "
         "the benched dedup_minhash_lsh band self-join shape"
     ),
+    "stream_attribution_join": (
+        "streaming gate: wall-clock is availableNow micro-batch drain + "
+        "checkpoint fixed costs; the batch analog of the interval join "
+        "is the benched events_asof_join family"
+    ),
     "stream_ingest_commit": (
         "streaming gate: wall-clock is micro-batch + checkpoint + "
         "per-run commit fixed costs; the extraction plan it runs per "
