@@ -32,6 +32,7 @@ from azure_pdf_parser_spark.operators import (
     extract_spans,
 )
 from azure_pdf_parser_spark.operators import bpe, classifier, graph, sketches
+from azure_pdf_parser_spark.operators import profile as profile_ops
 from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import urls
 from azure_pdf_parser_spark.operators import packing, sampling
@@ -866,6 +867,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 construction → bit-exact oracle; exact count + permille error
     reported alongside (test-scale verification columns)."""
     return sketches.hll_distinct_tokens(_docs(spark, sf_dir))
+
+
+@query("table_profile", profile_ops.profile_table_sql())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiling (null rates, exact distincts,
+    string min/max, exact milli-char mean length): a single Aggregate
+    over one scan, wide→long exploded engine-side. The exact multi-
+    distinct goes through Expand — the documented swap-in point for the
+    HLL register sketch at crawl scale."""
+    return profile_ops.profile_table(_docs(spark, sf_dir))
 
 
 @query("url_canonicalize", urls.url_canonicalize_sql())
@@ -2010,6 +2021,7 @@ REGISTRY_ORDER = [
     "hll_distinct",
     "url_canonicalize",
     "stream_attribution_join",
+    "table_profile",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

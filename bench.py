@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "link_pagerank",
     "hll_distinct",
     "url_canonicalize",
+    "table_profile",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the

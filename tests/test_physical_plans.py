@@ -467,3 +467,14 @@ def test_widen_for_compute_is_conditional(spark):
         F.col("id").cast("string").alias("doc_id")
     ).repartition(par * 4, "doc_id")
     assert widen_for_compute(wide) is wide
+
+
+def test_table_profile_is_one_scan(spark):
+    """The profiler must profile every column in ONE pass: a single
+    parquet scan feeding one Aggregate (Expand for the exact multi-
+    distinct is the documented cost), never one job per column."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    nodes = _nodes(_plan(QUERIES["table_profile"](spark, SF_DIR)))
+    assert nodes.count("Scan") == 1, nodes
+    assert "Generate" in nodes, nodes  # wide→long explode stays engine-side
