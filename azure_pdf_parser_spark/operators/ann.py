@@ -182,9 +182,13 @@ def ivf_assign(
     return _assign_normed(base, cents)
 
 
-def _assign_normed(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_normed(
+    base: DataFrame, cents: DataFrame, keep_score: bool = False
+) -> DataFrame:
     """Nearest-centroid assignment over an already-normed vector table
-    — the shared core of :func:`ivf_assign` and :func:`kmeans_refine`."""
+    — the shared core of :func:`ivf_assign` and :func:`kmeans_refine`.
+    ``keep_score`` retains the winning centroid cosine (``ccos``) for
+    callers that order within the cluster (:func:`semantic_order`)."""
     from pyspark.sql.window import Window
 
     scored = base.join(F.broadcast(cents)).select(
@@ -199,10 +203,13 @@ def _assign_normed(base: DataFrame, cents: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id").asc()
     )
+    cols = ["vec_id", "vec", "norm", "centroid_id"] + (
+        ["ccos"] if keep_score else []
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "vec", "norm", "centroid_id")
+        .select(*cols)
     )
 
 
@@ -464,6 +471,88 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
             F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def semantic_order(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, ccos, semantic_pos): in-context-pretraining
+    data order (Shi et al. 2023, arXiv:2310.10638) — related documents
+    made ADJACENT in the training stream by clustering embeddings and
+    laying clusters out contiguously, each cluster internally ordered
+    hub-first (centroid cosine descending, vec_id tie-break).
+
+    The ICP paper chains a doc-level nearest-neighbor traveling path;
+    the cluster-contiguous layout is its scalable standard relaxation —
+    what matters for the training objective is that a context window
+    lands inside one semantic neighborhood, which cluster-contiguity
+    already guarantees at window ≪ cluster size.
+
+    Scale shape: assignment is the broadcast-codebook pass of
+    :func:`ivf_assign` (no shuffle of the vector table); the GLOBAL
+    position is the curriculum_order machinery — per-cluster counts
+    (one map-side-combined groupBy), an exclusive prefix sum over the
+    tiny centroid table, broadcast offsets + a within-cluster window —
+    never a corpus-sized single-partition rank.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = _assign_normed(
+        with_norm(embeddings), ivf_centroids(embeddings), keep_score=True
+    )
+    counts = assigned.groupBy("centroid_id").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy()
+        .orderBy("centroid_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "centroid_id",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("centroid_id").orderBy(
+        F.col("ccos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.join(F.broadcast(offsets), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "ccos",
+            (F.col("_off") + F.row_number().over(w_in))
+            .cast("bigint")
+            .alias("semantic_pos"),
+        )
+    )
+
+
+SEMANTIC_ORDER_SQL = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS norm
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS centroid_id, vec AS cvec, norm AS cnorm FROM base WHERE vec_id < {c}
+),
+scored AS (
+    SELECT b.vec_id, b.norm, c.centroid_id,
+           round(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                                i -> b.vec[i] * c.cvec[i]), 'sum')
+                 / (b.norm * c.cnorm), 6) AS ccos,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY round(list_aggregate(list_transform(range(1, len(b.vec) + 1),
+                                             i -> b.vec[i] * c.cvec[i]), 'sum')
+                                       / (b.norm * c.cnorm), 6) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, centroid_id, ccos FROM scored WHERE rn = 1
+)
+SELECT vec_id, centroid_id, ccos,
+       CAST(row_number() OVER (ORDER BY centroid_id, ccos DESC, vec_id)
+            AS BIGINT) AS semantic_pos
+FROM assigned
+""".format(c=N_CENTROIDS)
 
 
 def ivf_recall_at_k(embeddings: DataFrame, k: int = 5) -> DataFrame:

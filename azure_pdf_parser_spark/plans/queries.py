@@ -1555,6 +1555,15 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, stride=10)
 
 
+@query("semantic_order", ann.SEMANTIC_ORDER_SQL)
+def q_semantic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context-pretraining data order (Shi et al. 2023): cluster-
+    contiguous global layout, hub-first within each cluster. Broadcast-
+    codebook assignment (no vector-table shuffle) + the curriculum
+    prefix-offset machinery — no corpus-sized single-partition rank."""
+    return ann.semantic_order(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("dedup_embedding_cosine", ann.EMBEDDING_NEAR_DUP_SQL.format(bits=ann.LSH_BITS, threshold=0.35))
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed candidate gen)."""
@@ -2022,6 +2031,7 @@ REGISTRY_ORDER = [
     "url_canonicalize",
     "stream_attribution_join",
     "table_profile",
+    "semantic_order",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "url_canonicalize",
     "table_profile",
+    "semantic_order",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the

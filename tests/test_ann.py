@@ -311,3 +311,31 @@ def test_ivf_pq_plan_broadcasts_codebook_never_vectors(spark):
         release_all()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_order_is_contiguous_and_cluster_local(spark):
+    """semantic_pos must be an exact 1..N permutation with every
+    cluster occupying ONE contiguous block (the property a training
+    context window relies on), and the corpus-sized rank window must
+    shard on the centroid key — never a single-partition global rank."""
+    from azure_pdf_parser_spark.operators import ann
+    from azure_pdf_parser_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = ann.semantic_order(emb)
+    rows = df.collect()
+    n = emb.count()
+    assert sorted(r.semantic_pos for r in rows) == list(range(1, n + 1))
+    spans = {}
+    for r in rows:
+        lo, hi, cnt = spans.get(r.centroid_id, (n + 1, 0, 0))
+        spans[r.centroid_id] = (
+            min(lo, r.semantic_pos), max(hi, r.semantic_pos), cnt + 1
+        )
+    for cid, (lo, hi, cnt) in spans.items():
+        assert hi - lo + 1 == cnt, (cid, lo, hi, cnt)  # contiguous block
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(centroid_id" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
