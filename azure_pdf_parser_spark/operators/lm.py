@@ -208,3 +208,103 @@ FROM (
 )
 WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+# --- Bigram LM surprisal ------------------------------------------------------
+
+
+def _doc_bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2): consecutive token pairs, array-local — the
+    bigram stream is derived inside one projection (posexplode + a
+    0-based array index), never a self-join on position."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+    with_arr = documents.select("doc_id", toks.alias("_toks"))
+    return (
+        with_arr.select(
+            "doc_id", "_toks", F.posexplode("_toks").alias("_pos", "w1")
+        )
+        .where(F.col("_pos") < F.size("_toks") - 1)
+        .select("doc_id", "w1", F.expr("_toks[_pos + 1]").alias("w2"))
+    )
+
+
+def lm_bigram_surprisal(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_bigram_surprisal): mean -log2 P(w2|w1)
+    per document under the corpus bigram model with add-one smoothing —
+    the KenLM-perplexity-filter analog one order up from
+    :func:`lm_surprisal` (CCNet filters on exactly this signal; a doc
+    whose CONSECUTIVE-pair statistics are improbable is gibberish even
+    when its unigrams are common — keyboard mash and word-salad spam
+    pass unigram filters and fail here).
+
+        P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V),  V = distinct unigrams
+
+    Scale shape: the bigram and unigram count tables are corpus-derived
+    and unbounded (Heaps' law squared for bigrams), so — unlike the
+    CAPPED unigram vocab — neither is broadcast: the probe joins key on
+    (w1, w2) and w1 with map-side-partial counts feeding them, and AQE
+    picks the join strategy (at production scale both model tables are
+    bucketed by their key, making every scoring run exchange-free on
+    the model side). V and the per-doc average are one scalar aggregate
+    and one uniform-key groupBy. Docs with < 2 tokens carry no bigram
+    signal and are absent from the output (their quality verdict comes
+    from the length rules upstream).
+    """
+    bg = _doc_bigrams(documents)
+    big_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = (
+        _doc_tokens(documents).groupBy("token").agg(F.count("*").alias("c1"))
+    )
+    v = uni_counts.agg(F.count("*").alias("v"))
+    scored = (
+        bg.join(big_counts, ["w1", "w2"])
+        .join(uni_counts.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                )
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("s"), 6).alias("avg_bigram_surprisal"),
+    )
+
+
+LM_BIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (
+    SELECT d.doc_id, t.token
+    FROM documents d
+    CROSS JOIN LATERAL (
+        SELECT UNNEST(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS token
+    ) t
+),
+bg AS (
+    SELECT d.doc_id, b.w1, b.w2
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+          FROM documents) d
+    CROSS JOIN LATERAL (
+        SELECT UNNEST(list_transform(
+                   d.tk[1:len(d.tk) - 1], (x, i) -> struct_pack(w1 := x, w2 := d.tk[i + 1])
+               ), recursive := true)
+    ) b
+),
+bigc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+unic AS (SELECT token AS w1, count(*) AS c1 FROM toks GROUP BY token),
+v AS (SELECT count(*) AS v FROM unic)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-log2(CAST(bigc.c12 + 1 AS DOUBLE) / (unic.c1 + v.v))), 6)
+           AS avg_bigram_surprisal
+FROM bg
+JOIN bigc ON bg.w1 = bigc.w1 AND bg.w2 = bigc.w2
+JOIN unic ON bg.w1 = unic.w1
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""

@@ -879,6 +879,15 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_ops.profile_table(_docs(spark, sf_dir))
 
 
+@query("lm_bigram_surprisal", lm_ops.LM_BIGRAM_SURPRISAL_SQL)
+def q_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal (KenLM-filter analog, add-one smoothing):
+    array-local bigram derivation (no position self-join), unbounded
+    corpus-derived model tables correctly NOT broadcast (bucketed at
+    production scale), scalar V + one uniform-key per-doc aggregate."""
+    return lm_ops.lm_bigram_surprisal(_docs(spark, sf_dir))
+
+
 @query("url_canonicalize", urls.url_canonicalize_sql())
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the normalize-before-hash pass of URL
@@ -2032,6 +2041,7 @@ REGISTRY_ORDER = [
     "stream_attribution_join",
     "table_profile",
     "semantic_order",
+    "lm_bigram_surprisal",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

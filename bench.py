@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "table_profile",
     "semantic_order",
+    "lm_bigram_surprisal",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the
