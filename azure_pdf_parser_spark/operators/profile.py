@@ -91,3 +91,97 @@ FROM s"""
         f"WITH s AS (\n    SELECT count(*) AS n,\n           {agg_terms}\n"
         "    FROM documents\n)\n" + "\nUNION ALL\n".join(per_col)
     )
+
+
+# --- Exact distributed percentiles --------------------------------------------
+
+PERCENTILES_MILLI = (500, 900, 990)  # p50 / p90 / p99
+
+
+def value_percentiles(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    percentiles_milli: tuple[int, ...] = PERCENTILES_MILLI,
+) -> DataFrame:
+    """(group, n, p50, p90, p99): EXACT discrete percentiles per group
+    — the smallest value whose cumulative count reaches ceil(p·n) —
+    computed without ever sorting the corpus through one reducer.
+
+    The naive exact percentile is a global sort (or a single-partition
+    percentile aggregate buffering every value). This is the
+    curriculum-order machinery turned into an order statistic:
+
+    1. one map-side-combined groupBy on (group, value) — output rows =
+       distinct values per group, bounded by the value DOMAIN, not the
+       corpus;
+    2. cumulative counts via a window over that aggregated table,
+       partitioned by group (each partition = one group's distinct
+       values — bounded the same way);
+    3. the percentile is a min() over values meeting their rank
+       threshold: integer arithmetic end-to-end, bit-exact oracle.
+
+    ceil(p·n) uses integer ceil ((n·p + 999) div 1000) — no float rank.
+    At crawl scale this is how you get exact length/score percentiles
+    per language/domain in two bounded shuffles; for unbounded REAL
+    domains you first quantize the value (the HLL/profiler trade in
+    this module's neighbors: exactness over the quantized domain).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count("*").alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    cum = counts.select(
+        "grp",
+        "v",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_tot).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("bigint").alias("n")]
+    for pm in percentiles_milli:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr(f"(_n * {pm} + 999) div 1000"),
+                    F.col("v"),
+                )
+            ).cast("bigint").alias(f"p{pm}")
+        )
+    return cum.groupBy("grp").agg(*aggs)
+
+
+def value_percentiles_sql(
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    percentiles_milli: tuple[int, ...] = PERCENTILES_MILLI,
+) -> str:
+    terms = ",\n       ".join(
+        f"CAST(min(CASE WHEN cum >= (n * {pm} + 999) // 1000 THEN v END) "
+        f"AS BIGINT) AS p{pm}"
+        for pm in percentiles_milli
+    )
+    return f"""
+WITH counts AS (
+    SELECT {group_col} AS grp, {value_col} AS v, count(*) AS c
+    FROM documents GROUP BY {group_col}, {value_col}
+),
+cum AS (
+    SELECT grp, v,
+           sum(c) OVER (PARTITION BY grp ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY grp) AS n
+    FROM counts
+)
+SELECT grp, CAST(max(n) AS BIGINT) AS n,
+       {terms}
+FROM cum GROUP BY grp
+"""

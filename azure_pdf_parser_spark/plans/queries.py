@@ -888,6 +888,16 @@ def q_lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_ops.lm_bigram_surprisal(_docs(spark, sf_dir))
 
 
+@query("value_percentiles", profile_ops.value_percentiles_sql())
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete percentiles (p50/p90/p99 of n_chars by
+    source) with NO corpus-wide sort: (group,value) counts → cumulative
+    ranks over the bounded distinct-value table → min value meeting the
+    integer ceil(p·n) threshold. Bit-exact oracle, two bounded
+    shuffles."""
+    return profile_ops.value_percentiles(_docs(spark, sf_dir))
+
+
 @query("url_canonicalize", urls.url_canonicalize_sql())
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the normalize-before-hash pass of URL
@@ -2042,6 +2052,7 @@ REGISTRY_ORDER = [
     "table_profile",
     "semantic_order",
     "lm_bigram_surprisal",
+    "value_percentiles",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "table_profile",
     "semantic_order",
     "lm_bigram_surprisal",
+    "value_percentiles",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the

@@ -55,3 +55,35 @@ def test_register_table_is_one_exchange(spark):
     nodes = _nodes(_plan(sketches.hll_registers(tok, "source", "token")))
     assert nodes.count("Exchange") == 1, nodes
     assert "HashAggregate" in nodes, nodes
+
+
+def test_value_percentiles_match_sorted_definition(spark):
+    """p_k must equal the ceil(p·n)-th smallest value — checked against
+    a driver-side sort of a small skewed group."""
+    import math
+
+    from azure_pdf_parser_spark.operators.profile import value_percentiles
+
+    vals = [1] * 50 + [2] * 30 + [10] * 15 + [100] * 4 + [10_000]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "source string, n_chars long"
+    )
+    row = value_percentiles(df).collect()[0]
+    s = sorted(vals)
+    for pm in (500, 900, 990):
+        expected = s[math.ceil(len(s) * pm / 1000) - 1]
+        assert row[f"p{pm}"] == expected, (pm, row)
+    assert row.n == len(vals)
+
+
+def test_value_percentiles_never_sorts_the_corpus(spark):
+    """Both windows run over the aggregated (group, value) table: the
+    plan's only corpus-sized exchange is the groupBy — no global Sort
+    without partitioning keys."""
+    from azure_pdf_parser_spark.operators.profile import value_percentiles
+    from tests.test_physical_plans import _plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(value_percentiles(docs))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(grp" in plan, plan
