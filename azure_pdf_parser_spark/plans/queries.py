@@ -21,6 +21,7 @@ from azure_pdf_parser_spark.functions.text import (
     quality_exprs,
     quality_sql,
 )
+from azure_pdf_parser_spark.functions import normalize as normalize_fns
 from azure_pdf_parser_spark.functions import text as text_fns
 from azure_pdf_parser_spark.functions import scrub as scrub_fns
 from azure_pdf_parser_spark.operators import (
@@ -896,6 +897,15 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ceil(p·n) threshold. Bit-exact oracle, two bounded
     shuffles."""
     return profile_ops.value_percentiles(_docs(spark, sf_dir))
+
+
+@query("text_normalize", normalize_fns.normalize_text_sql())
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-before-anything text normalization: unicode
+    punctuation folding, NBSP→space, control-char strip, whitespace
+    collapse+trim — one regexp chain, map-only, zero exchange. Runs on
+    a deliberately-messied seam so every rule has both outcomes."""
+    return normalize_fns.normalize_text(_docs(spark, sf_dir))
 
 
 @query("url_canonicalize", urls.url_canonicalize_sql())
@@ -2053,6 +2063,7 @@ REGISTRY_ORDER = [
     "semantic_order",
     "lm_bigram_surprisal",
     "value_percentiles",
+    "text_normalize",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "semantic_order",
     "lm_bigram_surprisal",
     "value_percentiles",
+    "text_normalize",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the
