@@ -2111,6 +2111,20 @@ REGISTRY_ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_neardup_clusters",
+    # — shifted to positions 51-59 by the nine brand-new gates above
+    #   (link_pagerank … text_normalize, zero driver rows ever, so they
+    #   take cap priority). These nine changed earlier in round 3 and
+    #   keep the next-highest priority: if the driver cap is ~50 they
+    #   fall just outside it, and their coverage is then the local
+    #   oracle suite (tests/test_queries_vs_oracle.py, green every
+    #   pytest run) plus the in-cap gates that exercise the same code:
+    #   pdf_parse/pdf_split_parse → pdf_media_features (#39, same
+    #   content-stream parser); langid/doc_languages → corpus_curation
+    #   + corpus_mix oracles re-run the detector; lm_surprisal vocab →
+    #   in-cap lm_bigram_surprisal shares _doc_tokens; parser_output /
+    #   layout_text_blocks → stream_ingest_commit (#36) runs the same
+    #   extract chain per micro-batch; sample_stratified →
+    #   quality_weighted_sample (#14) uses the same md5-bucket family.
     # functions/pdf.py: indirect-/Length + /EarlyChange quarantine fixes
     "pdf_parse",
     "pdf_split_parse",
@@ -2123,7 +2137,7 @@ REGISTRY_ORDER = [
     # extract_spans.py changed; assembly carries its contract in-cap
     "parser_output",
     # layout chain: layout.py untouched but the widen changed its plan —
-    # one end-to-end chain gate stays in-cap
+    # one end-to-end chain gate stays high
     "layout_text_blocks",
     # sampling.py: full-fraction fix — threshold math is value-bearing
     "sample_stratified",
