@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches: deterministic HyperLogLog.
+"""Mergeable summary sketches: deterministic HyperLogLog (cardinality)
+and Count-Min (point frequency).
 
 At 100 TB, ``COUNT(DISTINCT token)`` per group is the classic shuffle
 bomb: the exchange carries every distinct (group, token) pair — at
@@ -139,4 +140,129 @@ SELECT exact.source,
        CAST(abs(hll_estimate - n_exact) * 1000 // n_exact AS BIGINT)
            AS err_permille
 FROM exact JOIN est ON exact.source = est.source
+"""
+
+
+# --- Count-Min sketch ----------------------------------------------------------
+
+CMS_DEPTH = 4     # independent hash rows
+CMS_WIDTH = 1024  # counters per row
+
+
+def _cms_col(token, j: int):
+    """Row-j counter index: an independent md5 per row (salted), first
+    32 bits mod width — same construction as the minhash family."""
+    h = F.md5(F.concat(token, F.lit(f":cms{j}")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % CMS_WIDTH
+    ).cast("int")
+
+
+def cms_cells(rows: DataFrame, item_col: str) -> DataFrame:
+    """(row_idx, col, c): the Count-Min sketch as a table — ≤
+    depth×width rows no matter the input size. Mergeable: union two
+    sketches and re-sum.
+
+    Scale shape: the token stream collapses through ONE groupBy on the
+    item first (map-side partials eat the Zipf head), so the per-row
+    expansion ×depth runs over DISTINCT items and the second groupBy's
+    exchange carries ≤ depth×width cells per map task. The CMS answers
+    point frequency queries with ε = e/width overcount (never under)
+    using constant memory — the frequency twin of the HLL register
+    table above.
+    """
+    counts = (
+        rows.select(F.col(item_col).alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+    )
+    cells = counts.select(
+        "n",
+        F.posexplode(
+            F.array(*[_cms_col(F.col("item"), j) for j in range(CMS_DEPTH)])
+        ).alias("row_idx", "col"),
+    )
+    return cells.groupBy("row_idx", "col").agg(F.sum("n").alias("c"))
+
+
+def cms_point_estimates(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Gate: sketch the corpus token stream, then point-query the k
+    true-top tokens — (token, true_n, cms_estimate, overestimate).
+    The CMS guarantee (estimate ≥ truth, overcount bounded by the
+    colliding mass) is visible in the output; all-integer, bit-exact.
+
+    The true counts are the verification column (exact top-k via
+    TakeOrdered — affordable here, the thing you could NOT afford at
+    crawl scale, where the sketch is the only frequency table and the
+    probe side is whatever token set you care about)."""
+    tok = documents.where(F.col("text").isNotNull()).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    sketch = cms_cells(tok, "token")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+    probes = top.select(
+        "token",
+        "true_n",
+        F.posexplode(
+            F.array(*[_cms_col(F.col("token"), j) for j in range(CMS_DEPTH)])
+        ).alias("row_idx", "col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "col"])
+        .groupBy("token", "true_n")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "token",
+            F.col("true_n").cast("bigint").alias("true_n"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("true_n"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+def cms_point_estimates_sql(k: int = 20) -> str:
+    def _cols(ident: str) -> str:
+        return ", ".join(
+            f"CAST(CAST(('0x' || substr(md5({ident} || ':cms{j}'), 1, 8)) AS "
+            f"BIGINT) % {CMS_WIDTH} AS INT)"
+            for j in range(CMS_DEPTH)
+        )
+
+    col_exprs = _cols("item")
+    probe_cols = _cols("token")
+    return f"""
+WITH tok AS (
+    SELECT UNNEST(string_split(text, ' ')) AS item
+    FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT item, count(*) AS n FROM tok GROUP BY item),
+cells AS (
+    SELECT row_idx, col, sum(n) AS c FROM (
+        SELECT n, UNNEST(range({CMS_DEPTH})) AS row_idx,
+               UNNEST([{col_exprs}]) AS col
+        FROM counts
+    ) GROUP BY row_idx, col
+),
+top AS (
+    SELECT item AS token, n AS true_n FROM counts
+    ORDER BY n DESC, item ASC LIMIT {k}
+),
+probes AS (
+    SELECT token, true_n, UNNEST(range({CMS_DEPTH})) AS row_idx,
+           UNNEST([{probe_cols}]) AS col
+    FROM top
+)
+SELECT p.token,
+       CAST(p.true_n AS BIGINT) AS true_n,
+       CAST(min(c.c) AS BIGINT) AS cms_estimate,
+       CAST(min(c.c) - p.true_n AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON p.row_idx = c.row_idx AND p.col = c.col
+GROUP BY p.token, p.true_n
 """

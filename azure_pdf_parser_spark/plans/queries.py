@@ -908,6 +908,16 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_fns.normalize_text(_docs(spark, sf_dir))
 
 
+@query("cms_heavy_hitters", sketches.cms_point_estimates_sql())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency queries on the true top-20
+    tokens: the constant-memory frequency twin of the HLL gate — item
+    groupBy collapses the Zipf head, then ≤ depth×width cells per map
+    task through the cell exchange. Estimate ≥ truth by construction;
+    all-integer, bit-exact oracle."""
+    return sketches.cms_point_estimates(_docs(spark, sf_dir))
+
+
 @query("url_canonicalize", urls.url_canonicalize_sql())
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the normalize-before-hash pass of URL
@@ -2064,6 +2074,7 @@ REGISTRY_ORDER = [
     "lm_bigram_surprisal",
     "value_percentiles",
     "text_normalize",
+    "cms_heavy_hitters",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

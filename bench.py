@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "lm_bigram_surprisal",
     "value_percentiles",
     "text_normalize",
+    "cms_heavy_hitters",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the

@@ -87,3 +87,36 @@ def test_value_percentiles_never_sorts_the_corpus(spark):
     plan = _plan(value_percentiles(docs))
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(grp" in plan, plan
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """The CMS one-sided guarantee (estimate ≥ truth) must hold for
+    EVERY token, and the cell table must be mergeable: summing two
+    shard sketches equals the sketch of the union."""
+    from azure_pdf_parser_spark.operators.sketches import (
+        cms_cells,
+        cms_point_estimates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    est = cms_point_estimates(docs, k=50)
+    assert est.where(F.col("cms_estimate") < F.col("true_n")).count() == 0
+
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+
+    def toks(d):
+        return d.where(F.col("text").isNotNull()).select(
+            F.explode(F.split("text", " ")).alias("token")
+        )
+
+    merged = (
+        cms_cells(toks(half_a), "token")
+        .unionByName(cms_cells(toks(half_b), "token"))
+        .groupBy("row_idx", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = cms_cells(toks(docs), "token")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
