@@ -1169,3 +1169,90 @@ ranked AS (
 )
 SELECT vec_id, neighbor_id, rank, adc_cosine FROM ranked WHERE rank <= {k}
 """
+
+
+# --- Reciprocal-rank fusion of ANN tiers ---------------------------------------
+
+RRF_K0 = 60           # the standard RRF damping constant (Cormack 2009)
+RRF_SCALE = 1_000_000  # integer micro-units: 10^6 div (k0 + rank)
+
+
+def rrf_fusion(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """(vec_id, neighbor_id, fused_score, rank): reciprocal-rank fusion
+    of the sign-LSH and IVF candidate lists — the standard way to merge
+    retrieval tiers with incomparable scores (Cormack et al. 2009):
+    each list contributes 1/(k0 + rank), here as the integer
+    ``RRF_SCALE div (k0 + rank)`` so the fusion is bit-exact.
+
+    Why it earns a gate: the two ANN tiers miss DIFFERENT neighbors
+    (LSH by bucket-boundary, IVF by centroid-boundary); their fused
+    top-k recovers candidates either tier alone drops, at the cost of
+    one extra equi-join of two k-bounded lists — O(n·k) rows a side,
+    never the vector table. The re-rank window partitions on vec_id
+    (WindowGroupLimit pre-truncation) like every top-k in this module.
+    """
+    from pyspark.sql.window import Window
+
+    def _term(rank_col):
+        return F.coalesce(
+            F.expr(f"{RRF_SCALE} div ({RRF_K0} + {rank_col})"), F.lit(0)
+        )
+
+    lsh = lsh_cosine_topk(embeddings, k).select(
+        F.col("vec_id").alias("l_vid"),
+        F.col("neighbor_id").alias("l_nid"),
+        F.col("rank").alias("l_rank"),
+    )
+    ivf = ivf_topk(embeddings, k).select(
+        F.col("vec_id").alias("i_vid"),
+        F.col("neighbor_id").alias("i_nid"),
+        F.col("rank").alias("i_rank"),
+    )
+    fused = (
+        lsh.join(
+            ivf,
+            (F.col("l_vid") == F.col("i_vid"))
+            & (F.col("l_nid") == F.col("i_nid")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("l_vid", "i_vid").alias("vec_id"),
+            F.coalesce("l_nid", "i_nid").alias("neighbor_id"),
+            (_term("l_rank") + _term("i_rank"))
+            .cast("bigint")
+            .alias("fused_score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("fused_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "fused_score", "rank")
+    )
+
+
+def rrf_fusion_sql(k: int = 5) -> str:
+    lsh = LSH_COSINE_TOPK_SQL.format(bits=LSH_BITS, k=k)
+    ivf = IVF_TOPK_SQL.format(c=N_CENTROIDS, k=k)
+    return f"""
+WITH lsh AS (SELECT * FROM ({lsh})),
+ivf AS (SELECT * FROM ({ivf})),
+fused AS (
+    SELECT coalesce(l.vec_id, i.vec_id) AS vec_id,
+           coalesce(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+           CAST(coalesce({RRF_SCALE} // ({RRF_K0} + l.rank), 0)
+                + coalesce({RRF_SCALE} // ({RRF_K0} + i.rank), 0)
+                AS BIGINT) AS fused_score
+    FROM lsh l FULL JOIN ivf i
+      ON l.vec_id = i.vec_id AND l.neighbor_id = i.neighbor_id
+)
+SELECT vec_id, neighbor_id, fused_score, rank FROM (
+    SELECT vec_id, neighbor_id, fused_score,
+           CAST(row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY fused_score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM fused
+) WHERE rank <= {k}
+"""

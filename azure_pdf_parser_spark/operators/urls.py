@@ -323,3 +323,95 @@ SELECT doc_id, url,
             ELSE lowered END AS canonical_url
 FROM canon
 """
+
+
+# --- Domain-level quality curation ---------------------------------------------
+
+DOMAIN_QUALITY_THRESHOLD_MILLI = 0
+DOMAIN_QUALITY_MIN_DOCS = 3
+
+
+def domain_quality(
+    documents: DataFrame,
+    threshold_milli: int = DOMAIN_QUALITY_THRESHOLD_MILLI,
+    min_docs: int = DOMAIN_QUALITY_MIN_DOCS,
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, weight_sum, keep_domain): DOMAIN-level
+    quality curation — aggregate the per-doc classifier signal to the
+    registered domain and judge the whole domain, the RefinedWeb/CCNet
+    practice of dropping entire hosts whose aggregate quality is junk
+    (per-doc filters leak a bad site's best pages; domain verdicts
+    don't).
+
+    keep_domain ⇔ n_docs ≥ min_docs (enough evidence) AND the domain's
+    MEAN token milli-weight ≥ threshold — compared in exact integer
+    cross-multiplication, no division. Scale shape: the per-doc scores
+    arrive from one uniform-key aggregation (classifier plan); the
+    domain rollup is one more map-side-combined groupBy on the domain
+    key; the doc→domain attach is the map-only URL derivation, so no
+    join of two corpus-sized tables ever happens.
+    """
+    from azure_pdf_parser_spark.operators.classifier import classifier_scores
+
+    feats = url_features(documents).select("doc_id", "domain")
+    scores = classifier_scores(documents)
+    per_doc = scores.join(feats, "doc_id")
+    agg = per_doc.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("weight_sum").cast("bigint").alias("weight_sum"),
+    )
+    keep = (F.col("n_docs") >= min_docs) & (
+        F.col("weight_sum") >= F.lit(threshold_milli) * F.col("n_tokens")
+    )
+    return agg.select(
+        "domain", "n_docs", "n_tokens", "weight_sum", keep.alias("keep_domain")
+    )
+
+
+def domain_quality_sql(
+    threshold_milli: int = DOMAIN_QUALITY_THRESHOLD_MILLI,
+    min_docs: int = DOMAIN_QUALITY_MIN_DOCS,
+) -> str:
+    from azure_pdf_parser_spark.operators.classifier import (
+        WEIGHT_BIAS,
+        WEIGHT_MOD,
+    )
+
+    w = (
+        f"CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % {WEIGHT_MOD}"
+        f" - {WEIGHT_BIAS}"
+    )
+    return f"""
+WITH {URL_SQL_CTE.strip()},
+feat AS (
+    SELECT doc_id,
+           regexp_extract(regexp_extract(url, '^https?://([^/]+)/', 1),
+                          '([^./]+\\.[^./]+\\.[^./]+)$', 1) AS domain
+    FROM urls
+),
+toks AS (
+    SELECT d.doc_id, u.t
+    FROM documents d
+    LEFT JOIN LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) u ON TRUE
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(coalesce(SUM(CASE WHEN u_real THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(SUM(CASE WHEN u_real THEN w ELSE 0 END), 0) AS BIGINT) AS weight_sum
+    FROM (SELECT doc_id, (t IS NOT NULL AND t <> '') AS u_real, {w} AS w FROM toks)
+    GROUP BY doc_id
+),
+dom AS (
+    SELECT feat.domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(per_doc.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(per_doc.weight_sum) AS BIGINT) AS weight_sum
+    FROM per_doc JOIN feat ON per_doc.doc_id = feat.doc_id
+    GROUP BY feat.domain
+)
+SELECT domain, n_docs, n_tokens, weight_sum,
+       (n_docs >= {min_docs} AND weight_sum >= {threshold_milli} * n_tokens)
+           AS keep_domain
+FROM dom
+"""

@@ -918,6 +918,27 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_point_estimates(_docs(spark, sf_dir))
 
 
+@query("domain_quality", urls.domain_quality_sql())
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality curation (RefinedWeb/CCNet practice of
+    dropping whole hosts): per-doc classifier scores rolled up to the
+    registered domain, integer cross-multiplied verdict (mean milli-
+    weight ≥ threshold, min-doc evidence floor). One uniform-key doc
+    aggregate + one domain-key rollup; the doc→domain attach is the
+    map-only URL derivation."""
+    return urls.domain_quality(_docs(spark, sf_dir))
+
+
+@query("ann_rrf_fusion", ann.rrf_fusion_sql(k=5))
+def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the LSH and IVF candidate lists
+    (Cormack 2009): integer micro-unit 1/(60+rank) terms summed over a
+    full-outer join of two k-bounded lists (O(n·k) rows a side, never
+    the vector table), WindowGroupLimit re-rank. Recovers neighbors
+    either tier alone drops at bucket/centroid boundaries."""
+    return ann.rrf_fusion(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
 @query("url_canonicalize", urls.url_canonicalize_sql())
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (the normalize-before-hash pass of URL
@@ -2075,6 +2096,8 @@ REGISTRY_ORDER = [
     "value_percentiles",
     "text_normalize",
     "cms_heavy_hitters",
+    "domain_quality",
+    "ann_rrf_fusion",
     "bpe_train",
     "bpe_encode",
     "bpe_pair_counts",

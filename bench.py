@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "value_percentiles",
     "text_normalize",
     "cms_heavy_hitters",
+    "domain_quality",
+    "ann_rrf_fusion",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the
@@ -289,6 +291,7 @@ EAGER_BUILD = {
     "bpe_encode",               # trains first: same iterative loop
     "bpe_lifecycle",            # trains + persists: same iterative loop
     "link_pagerank",            # iterative driver loop (per-round localCheckpoint)
+    "ann_rrf_fusion",           # contains ivf_topk: persists the IVF assignment
 }
 
 

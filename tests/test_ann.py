@@ -339,3 +339,35 @@ def test_semantic_order_is_contiguous_and_cluster_local(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(centroid_id" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rrf_fusion_union_and_score_semantics(spark):
+    """Fused candidates must be exactly the union of the two tiers'
+    lists (pre-cut), and a neighbor ranked #1 by BOTH tiers must score
+    2 * floor(RRF_SCALE / (k0 + 1))."""
+    from azure_pdf_parser_spark.operators import ann
+    from azure_pdf_parser_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    k = 5
+    fused = ann.rrf_fusion(emb, k=k)
+    lsh = {(r.vec_id, r.neighbor_id): r.rank for r in ann.lsh_cosine_topk(emb, k).collect()}
+    ivf = {(r.vec_id, r.neighbor_id): r.rank for r in ann.ivf_topk(emb, k).collect()}
+    rows = fused.collect()
+    term = lambda r: ann.RRF_SCALE // (ann.RRF_K0 + r) if r else 0  # noqa: E731
+    for r in rows:
+        key = (r.vec_id, r.neighbor_id)
+        expect = term(lsh.get(key)) + term(ivf.get(key))
+        assert r.fused_score == expect, (key, r.fused_score, expect)
+    # both-tier agreement surfaces at the double-#1 score somewhere
+    both_first = [
+        r for r in rows
+        if lsh.get((r.vec_id, r.neighbor_id)) == 1
+        and ivf.get((r.vec_id, r.neighbor_id)) == 1
+    ]
+    assert both_first, "no candidate ranked #1 by both tiers at sf0.001?"
+    assert all(
+        r.fused_score == 2 * (ann.RRF_SCALE // (ann.RRF_K0 + 1))
+        for r in both_first
+    )
