@@ -2145,20 +2145,24 @@ REGISTRY_ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_neardup_clusters",
-    # — shifted to positions 51-59 by the nine brand-new gates above
-    #   (link_pagerank … text_normalize, zero driver rows ever, so they
-    #   take cap priority). These nine changed earlier in round 3 and
-    #   keep the next-highest priority: if the driver cap is ~50 they
-    #   fall just outside it, and their coverage is then the local
-    #   oracle suite (tests/test_queries_vs_oracle.py, green every
-    #   pytest run) plus the in-cap gates that exercise the same code:
-    #   pdf_parse/pdf_split_parse → pdf_media_features (#39, same
-    #   content-stream parser); langid/doc_languages → corpus_curation
-    #   + corpus_mix oracles re-run the detector; lm_surprisal vocab →
-    #   in-cap lm_bigram_surprisal shares _doc_tokens; parser_output /
-    #   layout_text_blocks → stream_ingest_commit (#36) runs the same
+    # — the twelve brand-new gates above (link_pagerank …
+    #   ann_rrf_fusion) have zero driver rows ever, so they take cap
+    #   priority; everything from here down may fall outside a ~50-row
+    #   driver cap. All of it is still oracle-checked on every pytest
+    #   run (tests/test_queries_vs_oracle.py), and each near-boundary
+    #   entry has an in-cap gate exercising the same changed code:
+    #   dedup_minhash_lsh/neardup_clusters → minhash_index_dedup (#34)
+    #   and minhash_bucketed_pairs (#35) run the same re-mixed
+    #   signature/band build; dedup_simhash_pairs is the one family
+    #   with no in-cap sibling — its rewrite is pinned by the skew test
+    #   and the every-pytest oracle row; pdf_parse/pdf_split_parse →
+    #   pdf_media_features (#42, same content-stream parser);
+    #   langid/doc_languages → corpus_curation + corpus_mix oracles
+    #   re-run the detector; lm_surprisal vocab → in-cap
+    #   lm_bigram_surprisal shares _doc_tokens; parser_output /
+    #   layout_text_blocks → stream_ingest_commit (#37) runs the same
     #   extract chain per micro-batch; sample_stratified →
-    #   quality_weighted_sample (#14) uses the same md5-bucket family.
+    #   quality_weighted_sample uses the same md5-bucket family.
     # functions/pdf.py: indirect-/Length + /EarlyChange quarantine fixes
     "pdf_parse",
     "pdf_split_parse",
