@@ -1216,3 +1216,80 @@ SELECT m.doc_id,
                                   m.start_word + 1, m.end_word + 1), ' ') AS passage
 FROM merged m JOIN documents d USING (doc_id)
 """
+
+
+# --- MinHash-LSH recall/precision evaluation ------------------------------------
+
+
+def minhash_recall(documents: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """One-row evaluation of the MinHash-LSH candidate generator
+    against exact n-gram Jaccard ≥ threshold (the dedup twin of
+    ann_ivf_recall): (n_true, n_cand, n_hit, recall_permille,
+    precision_permille), integer permille so the oracle is bit-exact.
+
+    This is the number you tune bands/rows against before a production
+    re-dedup: recall says how much true near-duplication the banding
+    misses, precision how much candidate budget the verifier burns.
+    Truth is affordable here because ngram_jaccard_pairs is itself
+    df-capped equi-join, not O(n²); both sides reuse the same persisted
+    shingle machinery.
+    """
+    truth = ngram_jaccard_pairs(documents, threshold).select("doc_a", "doc_b")
+    cand = minhash_lsh_candidates(documents)
+    hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(hits)
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_cand").cast("bigint").alias("n_cand"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.when(
+                F.col("n_true") > 0,
+                F.expr("n_hit * 1000 div n_true"),
+            ).cast("bigint").alias("recall_permille"),
+            F.when(
+                F.col("n_cand") > 0,
+                F.expr("n_hit * 1000 div n_cand"),
+            ).cast("bigint").alias("precision_permille"),
+        )
+    )
+
+
+def minhash_recall_sql(threshold: float = 0.3) -> str:
+    return (
+        _MINHASH_CAND_CTES
+        + f""",
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+    SELECT c.doc_a, c.doc_b
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE round(c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE), 6) >= {threshold}
+),
+m AS (
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM truth t JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+)
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN n_true > 0 THEN n_hit * 1000 // n_true END AS BIGINT)
+           AS recall_permille,
+       CAST(CASE WHEN n_cand > 0 THEN n_hit * 1000 // n_cand END AS BIGINT)
+           AS precision_permille
+FROM m
+"""
+    )

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "domain_quality",
     "ann_rrf_fusion",
+    "langid_confusion",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the
@@ -136,6 +137,11 @@ EXCLUDED_QUERIES = {
         "O(n^2) exact correctness baseline; refuses large inputs by "
         "design (EXACT_TOPK_MAX_ROWS) — lsh/ivf tiers are the benched "
         "scale paths"
+    ),
+    "minhash_recall": (
+        "evaluation harness: contains the exact-Jaccard truth side "
+        "meant for bounded tuning samples — the production plans it "
+        "scores are the benched dedup_minhash_lsh / dedup_ngram_jaccard"
     ),
     "ann_ivf_recall": (
         "evaluation harness containing the O(n^2) exact baseline; "
