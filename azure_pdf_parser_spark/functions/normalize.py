@@ -11,8 +11,10 @@ Rules (each one regexp over the row — map-only, zero exchange, fuses
 into the scan):
   1. unicode punctuation folding: curly quotes → ASCII, en/em-dash →
      '-', ellipsis → '...'
-  2. exotic whitespace (NBSP) → space
-  3. control chars (C0 + DEL) stripped
+  2. exotic whitespace (NBSP) and whitespace-class controls
+     (TAB/LF/VT/FF/CR) → space — "line1\\nline2" must hash like
+     "line1 line2", never glue into "line1line2"
+  3. remaining control chars (non-whitespace C0 + DEL) stripped
   4. whitespace runs collapsed to one space, ends trimmed
 
 The sandbox corpus is already-clean synthetic text, so the gate runs
@@ -41,7 +43,11 @@ _RULES = (
     ("[–—]", "-"),
     ("…", "..."),
     (" ", " "),
-    ("[\\x00-\\x1f\\x7f]", ""),
+    # whitespace-class controls (TAB LF VT FF CR) FOLD to a space — a
+    # production "line1\nline2" must hash like "line1 line2", not glue
+    ("[\\x09-\\x0d]", " "),
+    # remaining controls (non-whitespace C0 + DEL) are stripped
+    ("[\\x00-\\x08\\x0e-\\x1f\\x7f]", ""),
     ("  +", " "),
     ("^ | $", ""),
 )

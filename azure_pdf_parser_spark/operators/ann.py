@@ -495,8 +495,14 @@ def semantic_order(embeddings: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    assigned = _assign_normed(
-        with_norm(embeddings), ivf_centroids(embeddings), keep_score=True
+    # persisted: the assignment feeds both the per-cluster counts and
+    # the final rank join — without it the broadcast-score + argmin
+    # window over the full vector table runs twice (same contract as
+    # ivf_topk's persisted assignment; caller releases via release_all)
+    assigned = tracked_persist(
+        _assign_normed(
+            with_norm(embeddings), ivf_centroids(embeddings), keep_score=True
+        )
     )
     counts = assigned.groupBy("centroid_id").agg(F.count("*").alias("_n"))
     w_off = (

@@ -127,27 +127,36 @@ def classifier_scores_with_weights(
     return _aggregate(joined, threshold_milli)
 
 
-def classifier_sql(threshold_milli: int = 0, table: str = "documents") -> str:
-    """DuckDB mirror of :func:`classifier_scores`. LEFT JOIN LATERAL
-    unnest matches Spark's explode_outer row-for-row: NULL text → one
-    NULL-token row, '' text → one ''-token row (verified behavior),
-    both contributing 0 tokens / 0 weight."""
+def per_doc_score_cte_sql(table: str = "documents") -> str:
+    """The per-doc scoring block (CTEs ``toks`` + ``per_doc``) shared by
+    :func:`classifier_sql` and urls.domain_quality_sql — one SQL source
+    for the token/weight rule so the doc gate and the domain rollup can
+    never desynchronize. LEFT JOIN LATERAL unnest matches Spark's
+    explode_outer row-for-row: NULL text → one NULL-token row, '' text
+    → one ''-token row (verified behavior), both contributing 0 tokens
+    / 0 weight."""
     w = f"CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % {WEIGHT_MOD} - {WEIGHT_BIAS}"
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT d.doc_id, u.t
   FROM {table} d
   LEFT JOIN LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) u ON TRUE
-), agg AS (
+), per_doc AS (
   SELECT doc_id,
          CAST(coalesce(SUM(CASE WHEN u_real THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tokens,
          CAST(coalesce(SUM(CASE WHEN u_real THEN w ELSE 0 END), 0) AS BIGINT) AS weight_sum
   FROM (SELECT doc_id, (t IS NOT NULL AND t <> '') AS u_real, {w} AS w FROM toks)
   GROUP BY doc_id
-)
+)"""
+
+
+def classifier_sql(threshold_milli: int = 0, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`classifier_scores` over the shared
+    per-doc scoring block."""
+    return f"""
+WITH {per_doc_score_cte_sql(table)}
 SELECT doc_id, n_tokens, weight_sum,
        (n_tokens > 0 AND weight_sum >= {threshold_milli} * n_tokens) AS keep
-FROM agg
+FROM per_doc
 """
 
 

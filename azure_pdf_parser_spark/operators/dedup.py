@@ -163,22 +163,35 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.3) -> DataFra
     return out
 
 
-NGRAM_JACCARD_SQL = (
-    "WITH "
-    + SHINGLES_SQL_CTE
-    + """,
+# sizes/common + the round-6 Jaccard expression, shared verbatim by
+# NGRAM_JACCARD_SQL and minhash_recall_sql so the truth-set definition
+# (df-capped shingles, a.doc_id < b.doc_id, round-6 threshold compare)
+# has exactly one SQL source
+_JACCARD_CTES = """
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
 common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
     FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
+)"""
+
+_JACCARD_EXPR = (
+    "round(c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common"
+    " AS DOUBLE), 6)"
 )
+
+NGRAM_JACCARD_SQL = (
+    "WITH "
+    + SHINGLES_SQL_CTE
+    + ","
+    + _JACCARD_CTES
+    + f"""
 SELECT c.doc_a, c.doc_b,
-       round(c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE), 6) AS jaccard
+       {_JACCARD_EXPR} AS jaccard
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE round(c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE), 6) >= {threshold}
+WHERE {_JACCARD_EXPR} >= {{threshold}}
 """
 )
 
@@ -1263,19 +1276,15 @@ def minhash_recall(documents: DataFrame, threshold: float = 0.3) -> DataFrame:
 def minhash_recall_sql(threshold: float = 0.3) -> str:
     return (
         _MINHASH_CAND_CTES
+        + ","
+        + _JACCARD_CTES
         + f""",
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
-common AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-),
 truth AS (
     SELECT c.doc_a, c.doc_b
     FROM common c
     JOIN sizes sa ON sa.doc_id = c.doc_a
     JOIN sizes sb ON sb.doc_id = c.doc_b
-    WHERE round(c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE), 6) >= {threshold}
+    WHERE {_JACCARD_EXPR} >= {threshold}
 ),
 m AS (
     SELECT (SELECT count(*) FROM truth) AS n_true,

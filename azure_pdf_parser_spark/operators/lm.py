@@ -250,9 +250,16 @@ def lm_bigram_surprisal(documents: DataFrame) -> DataFrame:
     signal and are absent from the output (their quality verdict comes
     from the length rules upstream).
     """
-    bg = _doc_bigrams(documents)
+    from azure_pdf_parser_spark.caching import tracked_persist
+
+    # persisted: bg feeds both the bigram-count build and the probe
+    # side, uni_counts feeds both the V scalar and the smoothing join —
+    # without the persists the corpus tokenize/posexplode chain runs
+    # four times (same contract as lm_vocab's persisted counts; caller
+    # releases via release_all)
+    bg = tracked_persist(_doc_bigrams(documents))
     big_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni_counts = (
+    uni_counts = tracked_persist(
         _doc_tokens(documents).groupBy("token").agg(F.count("*").alias("c1"))
     )
     v = uni_counts.agg(F.count("*").alias("v"))

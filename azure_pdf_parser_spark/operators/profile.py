@@ -126,11 +126,18 @@ def value_percentiles(
     per language/domain in two bounded shuffles; for unbounded REAL
     domains you first quantize the value (the HLL/profiler trade in
     this module's neighbors: exactness over the quantized domain).
+
+    NULL values are excluded on BOTH sides (from the ranks and from n):
+    a percentile of the present values is the meaningful statistic, and
+    the engines disagree on NULL sort position (Spark windows order
+    nulls first, DuckDB last) — filtering is also what makes the gate
+    deterministic.
     """
     from pyspark.sql.window import Window
 
     counts = (
-        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
         .groupBy("grp", "v")
         .agg(F.count("*").alias("_c"))
     )
@@ -172,7 +179,8 @@ def value_percentiles_sql(
     return f"""
 WITH counts AS (
     SELECT {group_col} AS grp, {value_col} AS v, count(*) AS c
-    FROM documents GROUP BY {group_col}, {value_col}
+    FROM documents WHERE {value_col} IS NOT NULL
+    GROUP BY {group_col}, {value_col}
 ),
 cum AS (
     SELECT grp, v,

@@ -374,14 +374,9 @@ def domain_quality_sql(
     min_docs: int = DOMAIN_QUALITY_MIN_DOCS,
 ) -> str:
     from azure_pdf_parser_spark.operators.classifier import (
-        WEIGHT_BIAS,
-        WEIGHT_MOD,
+        per_doc_score_cte_sql,
     )
 
-    w = (
-        f"CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % {WEIGHT_MOD}"
-        f" - {WEIGHT_BIAS}"
-    )
     return f"""
 WITH {URL_SQL_CTE.strip()},
 feat AS (
@@ -390,18 +385,7 @@ feat AS (
                           '([^./]+\\.[^./]+\\.[^./]+)$', 1) AS domain
     FROM urls
 ),
-toks AS (
-    SELECT d.doc_id, u.t
-    FROM documents d
-    LEFT JOIN LATERAL (SELECT unnest(string_split(d.text, ' ')) AS t) u ON TRUE
-),
-per_doc AS (
-    SELECT doc_id,
-           CAST(coalesce(SUM(CASE WHEN u_real THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tokens,
-           CAST(coalesce(SUM(CASE WHEN u_real THEN w ELSE 0 END), 0) AS BIGINT) AS weight_sum
-    FROM (SELECT doc_id, (t IS NOT NULL AND t <> '') AS u_real, {w} AS w FROM toks)
-    GROUP BY doc_id
-),
+{per_doc_score_cte_sql()},
 dom AS (
     SELECT feat.domain,
            CAST(count(*) AS BIGINT) AS n_docs,

@@ -30,17 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from azure_pdf_parser_spark.streaming.stateful import EVENTS_SCHEMA
+from azure_pdf_parser_spark.streaming.stateful import read_event_stream
 
 ATTRIBUTION_WINDOW_MIN = 360  # 6 h: the view→click attribution lookback
-
-
-def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
-    )
 
 
 def attribution_join(

@@ -298,6 +298,8 @@ EAGER_BUILD = {
     "bpe_lifecycle",            # trains + persists: same iterative loop
     "link_pagerank",            # iterative driver loop (per-round localCheckpoint)
     "ann_rrf_fusion",           # contains ivf_topk: persists the IVF assignment
+    "semantic_order",           # persists the centroid assignment
+    "lm_bigram_surprisal",      # persists the bigram + unigram count tables
 }
 
 

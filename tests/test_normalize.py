@@ -20,6 +20,7 @@ def test_rule_semantics(spark):
             ("wait…", "wait..."),
             ("nb sp", "nb sp"),
             ("ctl\x07\x1fchars", "ctlchars"),
+            ("line1\nline2\tcol", "line1 line2 col"),
             ("  runs   of    space  ", "runs of space"),
             ("already clean", "already clean"),
         ],
