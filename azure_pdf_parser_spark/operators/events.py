@@ -223,3 +223,91 @@ SELECT user_id, session_idx,
 FROM sessions
 GROUP BY user_id, session_idx
 """.format(gap=SESSION_GAP_SECONDS)
+
+
+# --- Batch interval (range) join ----------------------------------------------
+
+RANGE_JOIN_WINDOW_SECONDS = 1800
+
+
+def range_join_clicks_before_purchase(
+    events: DataFrame, window_seconds: int = RANGE_JOIN_WINDOW_SECONDS
+) -> DataFrame:
+    """Bucketed interval join: every (purchase, click) pair by the same
+    user with click.ts in [purchase.ts − W, purchase.ts).
+
+    The naive plan — equi-join on user_id, range predicate as a filter —
+    is correct but degrades to an M×N comparison inside every heavy
+    user's hash bucket (the classic range-join skew: one bot user with
+    10⁶ events makes 10¹² in-bucket comparisons). The distributed
+    encoding here quantizes time into W-sized epochs: a click in epoch B
+    can only match purchases in epochs B or B+1, so each click is
+    emitted under both keys and the join becomes a pure EQUI-join on
+    (user_id, epoch) with a bounded 2× fan-out, then the exact range
+    predicate filters in-bucket. Comparisons drop from |clicks|·|buys|
+    per user to only same-epoch pairs — the standard interval-join
+    bucketing Flink/KDB apply, expressed as explode + join so Catalyst
+    plans a plain shuffled hash join with map-side pruning.
+
+    gap_us is exact integer microseconds (no float time arithmetic);
+    the NTZ→micros encoding is timestampdiff from the NTZ epoch —
+    session-timezone-independent, same reasoning as sessionize() above.
+    """
+    us_w = int(window_seconds) * 1_000_000
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_event_id"),
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("c_us"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array(
+                    F.expr(f"c_us div {us_w}"),
+                    F.expr(f"c_us div {us_w}") + 1,
+                )
+            ).alias("epoch"),
+        )
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("p_us"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f" div {us_w}"
+        ).alias("epoch"),
+    )
+    pairs = purchases.join(
+        clicks,
+        on=[
+            purchases.p_user == clicks.c_user,
+            purchases.epoch == clicks.epoch,
+        ],
+    ).where(
+        (F.col("c_us") < F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - F.lit(us_w))
+    )
+    return pairs.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_event_id",
+        "click_event_id",
+        (F.col("p_us") - F.col("c_us")).alias("gap_us"),
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_event_id,
+       c.event_id AS click_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - {w} * 1000000
+""".format(w=RANGE_JOIN_WINDOW_SECONDS)

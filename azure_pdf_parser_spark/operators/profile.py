@@ -193,3 +193,91 @@ SELECT grp, CAST(max(n) AS BIGINT) AS n,
        {terms}
 FROM cum GROUP BY grp
 """
+
+
+# --- Key-skew diagnostics ------------------------------------------------------
+
+
+def key_skew_profile(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """One-row skew report for a prospective shuffle key: row/key counts,
+    the hottest key's absolute and per-million share, exact p50/p99 of
+    the per-key count distribution, skew-vs-mean ×1000, and the number
+    of keys hotter than 2× the mean.
+
+    This is the measurement that decides the engine's salting story
+    (plans/extract.py): BEFORE keying a 100 TB shuffle on a column, run
+    this profile on a sample or the full table and read off whether the
+    key needs salting (top_share_ppm / skew_x1000) and how wide
+    (max_cnt vs mean). All arithmetic is integer (ppm / ×1000 fixed
+    point) so the oracle is bit-exact.
+
+    Scale shape: ONE map-side-combined groupBy(key) — the only shuffle
+    proportional to data — then percentiles over the per-key counts via
+    a second groupBy on the COUNT VALUE (distinct count values are
+    O(hundreds) even when keys are billions: counts cluster) and a
+    window over that tiny table. No global sort, no single-partition
+    pass over keys.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    # histogram of the count distribution: rows = distinct count VALUES
+    hist = counts.groupBy("cnt").agg(F.count("*").alias("n_keys_at"))
+    w_cum = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "cnt",
+        "n_keys_at",
+        F.sum("n_keys_at").over(w_cum).alias("_cum"),
+        F.sum("n_keys_at").over(Window.partitionBy()).alias("_nk"),
+        F.sum(F.col("cnt") * F.col("n_keys_at"))
+        .over(Window.partitionBy())
+        .alias("_nr"),
+    )
+    return cum.agg(
+        F.max("_nr").cast("bigint").alias("n_rows"),
+        F.max("_nk").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.min(
+            F.when(F.col("_cum") >= F.expr("(_nk * 500 + 999) div 1000"), F.col("cnt"))
+        ).cast("bigint").alias("p50_cnt"),
+        F.min(
+            F.when(F.col("_cum") >= F.expr("(_nk * 990 + 999) div 1000"), F.col("cnt"))
+        ).cast("bigint").alias("p99_cnt"),
+        F.expr("max(cnt) * 1000000 div max(_nr)").cast("bigint").alias("top_share_ppm"),
+        F.expr("max(cnt) * max(_nk) * 1000 div max(_nr)").cast("bigint").alias("skew_x1000"),
+        F.sum(
+            F.when(
+                F.col("cnt") * F.col("_nk") > F.col("_nr") * 2,
+                F.col("n_keys_at"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("hot_keys"),
+    )
+
+
+def key_skew_profile_sql(table: str = "events", key_col: str = "user_id") -> str:
+    return f"""
+WITH counts AS (
+    SELECT {key_col} AS k, count(*) AS cnt FROM {table} GROUP BY {key_col}
+),
+hist AS (
+    SELECT cnt, count(*) AS n_keys_at FROM counts GROUP BY cnt
+),
+cum AS (
+    SELECT cnt, n_keys_at,
+           sum(n_keys_at) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n_keys_at) OVER () AS nk,
+           sum(cnt * n_keys_at) OVER () AS nr
+    FROM hist
+)
+SELECT CAST(max(nr) AS BIGINT) AS n_rows,
+       CAST(max(nk) AS BIGINT) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(min(CASE WHEN cum >= (nk * 500 + 999) // 1000 THEN cnt END) AS BIGINT) AS p50_cnt,
+       CAST(min(CASE WHEN cum >= (nk * 990 + 999) // 1000 THEN cnt END) AS BIGINT) AS p99_cnt,
+       CAST(max(cnt) * 1000000 // max(nr) AS BIGINT) AS top_share_ppm,
+       CAST(max(cnt) * max(nk) * 1000 // max(nr) AS BIGINT) AS skew_x1000,
+       CAST(sum(CASE WHEN cnt * nk > nr * 2 THEN n_keys_at ELSE 0 END) AS BIGINT) AS hot_keys
+FROM cum
+"""

@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "corpus_stats_rollup",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "events_range_join",
+    "skew_profile",
     "link_pagerank",
     "hll_distinct",
     "url_canonicalize",

@@ -152,6 +152,65 @@ def test_tpch_q3_broadcasts_dims_and_takes_ordered(spark):
     assert "SortMergeJoin" not in nodes, nodes
 
 
+def test_tpch_q6_pushdown_reaches_scan(spark):
+    """Q6 is the pushdown gate: every predicate must reach the parquet
+    reader as a PushedFilter and the ReadSchema must carry only the 4
+    referenced columns of lineitem's 11 — at 100 TB this query reads
+    row-group stats, not the table."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in l for l in pushed), (col, pushed)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in line, line
+    for col in ("l_orderkey", "l_partkey", "l_comment", "l_returnflag"):
+        assert col not in line, line
+
+
+def test_tpch_q5_broadcasts_every_dim(spark):
+    """Q5's six-way star join: region→nation→supplier and customer all
+    broadcast; the only shuffled join is lineitem⋈orders. No
+    SortMergeJoin of a dim, no cartesian."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    nodes = _nodes(_plan(QUERIES["tpch_q5_local_supplier"](spark, SF_DIR)))
+    assert nodes.count("BroadcastHashJoin") >= 4, nodes
+    assert "CartesianProduct" not in nodes, nodes
+    assert "BroadcastNestedLoopJoin" not in nodes, nodes
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The interval join must plan as a hash/sort equi-join on
+    (user, epoch) — a raw range predicate would be a nested-loop."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    nodes = _nodes(_plan(QUERIES["events_range_join"](spark, SF_DIR)))
+    assert "CartesianProduct" not in nodes, nodes
+    assert "BroadcastNestedLoopJoin" not in nodes, nodes
+
+
+def test_skew_profile_windows_are_over_histogram_only(spark):
+    """skew_profile's unpartitioned windows run over the COUNT
+    HISTOGRAM (distinct per-key count values), never the raw table or
+    the per-key counts: two hash aggregates must sit below the first
+    Window node."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["skew_profile"](spark, SF_DIR))
+    lines = plan.splitlines()
+    first_window = next(i for i, l in enumerate(lines) if "Window" in l)
+    aggs_below = sum(
+        1 for l in lines[first_window:] if "HashAggregate" in l
+    )
+    assert aggs_below >= 4, plan  # 2 aggregates × partial+final
+
+
 def test_asof_join_is_single_shuffle(spark):
     """The as-of encoding must be ONE exchange (user_id) feeding both
     window functions — a range/theta join here would be quadratic."""
