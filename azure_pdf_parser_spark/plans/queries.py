@@ -1918,11 +1918,16 @@ GROUP BY n.n_name
 """,
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 local-supplier volume: the six-way star join. Every dim
-    side (region→nation→supplier, customer) is broadcast — the only
-    shuffles are the fact-side lineitem⋈orders join and the final
-    small-key aggregate; the c_nationkey = s_nationkey "local" predicate
-    rides the broadcast join, never a second fact shuffle."""
+    """TPC-H Q5 local-supplier volume: the six-way star join.
+
+    Broadcast discipline: explicit `broadcast()` hints ONLY on the
+    fixed-cardinality dims (region = 5 rows, nation = 25 rows — constant
+    at every SF). supplier and customer SCALE with SF (SF×10k / SF×150k
+    rows; billions at 100 TB), so they carry NO hint — the planner
+    broadcasts them from parquet size stats at test SF and falls back to
+    shuffled equi-joins at scale, where a forced broadcast would OOM the
+    executors. The c_nationkey = s_nationkey "local" predicate rides the
+    customer join condition, never a second fact shuffle."""
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -1938,9 +1943,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(
-            F.broadcast(c),
+            c,
             (o.o_custkey == c.c_custkey)
             & (c.c_nationkey == F.col("s_nationkey")),
         )

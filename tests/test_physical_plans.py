@@ -174,15 +174,27 @@ def test_tpch_q6_pushdown_reaches_scan(spark):
 
 
 def test_tpch_q5_broadcasts_every_dim(spark):
-    """Q5's six-way star join: region→nation→supplier and customer all
-    broadcast; the only shuffled join is lineitem⋈orders. No
-    SortMergeJoin of a dim, no cartesian."""
+    """Q5's six-way star join: at this SF every dim side broadcasts (the
+    fixed-cardinality region/nation by explicit hint, supplier/customer
+    by the planner's parquet size stats — NO forced hint, so at 100 TB
+    they degrade to shuffled equi-joins instead of OOMing a broadcast).
+    No cartesian, no nested-loop."""
     from azure_pdf_parser_spark.plans.queries import QUERIES
 
     nodes = _nodes(_plan(QUERIES["tpch_q5_local_supplier"](spark, SF_DIR)))
     assert nodes.count("BroadcastHashJoin") >= 4, nodes
     assert "CartesianProduct" not in nodes, nodes
     assert "BroadcastNestedLoopJoin" not in nodes, nodes
+    # the SF-scaling sides must not carry a forced broadcast hint:
+    # queries.py is the source of truth — grep its Q5 body
+    import inspect
+
+    from azure_pdf_parser_spark.plans import queries as qmod
+
+    src = inspect.getsource(qmod.q_tpch_q5)
+    assert "F.broadcast(s)" not in src and "F.broadcast(c)" not in src, (
+        "supplier/customer scale with SF — no forced broadcast"
+    )
 
 
 def test_range_join_plans_as_equi_join(spark):
