@@ -1,5 +1,5 @@
-"""Mergeable summary sketches: deterministic HyperLogLog (cardinality)
-and Count-Min (point frequency).
+"""Mergeable summary sketches: deterministic HyperLogLog (cardinality),
+Count-Min (point frequency), and HDR log-linear histogram (quantiles).
 
 At 100 TB, ``COUNT(DISTINCT token)`` per group is the classic shuffle
 bomb: the exchange carries every distinct (group, token) pair — at
@@ -265,4 +265,199 @@ SELECT p.token,
        CAST(min(c.c) - p.true_n AS BIGINT) AS overestimate
 FROM probes p JOIN cells c ON p.row_idx = c.row_idx AND p.col = c.col
 GROUP BY p.token, p.true_n
+"""
+
+
+# --- HDR (log-linear) quantile sketch -------------------------------------------
+
+HDR_SUB_BITS = 4  # 16 sub-buckets per octave → rel. error ≤ 2^-4 = 6.25%
+_HDR_SUB = 1 << HDR_SUB_BITS
+
+
+def hdr_quantile_sketch(
+    rows: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """(grp, bucket, cnt): the mergeable sketch — bounded bucket
+    counts per group (≤ ~1k rows/group for the full int64 domain, vs
+    the value DOMAIN for the exact table in operators/profile.py).
+    Merging two sketches = union + re-sum, same as the CMS cells.
+
+    Bucket id (HDR Histogram, log-linear): values < 2^S map to
+    themselves (exact); above, octave ``e = floor(log2 v)`` holds 2^S
+    sub-buckets of width 2^(e-S). The octave comes from
+    ``length(bin(v))`` — exact-integer in both engines, same trick as
+    the HLL rho — never a float log2 near power-of-two boundaries."""
+    v = F.col("_v")
+    e = F.length(F.bin(v)) - F.lit(1 + HDR_SUB_BITS)
+    bucket = (
+        F.when(v < _HDR_SUB, v)
+        .otherwise(
+            e.cast("bigint") * _HDR_SUB
+            + F.expr(
+                f"_v div shiftleft(1L, length(bin(_v)) - {1 + HDR_SUB_BITS})"
+            )
+        )
+        .cast("bigint")
+    )
+    return (
+        rows.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("bigint").alias("_v"),
+        )
+        .select("grp", bucket.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _hdr_lower_bound(bucket):
+    """Smallest value mapping into ``bucket`` (the sketch's quantile
+    answer — an underestimate by at most the sub-bucket width, i.e.
+    relative error ≤ 2^-S). Integer arithmetic only; resolves the
+    ``bucket`` column by name."""
+    k = F.expr(f"bucket div {_HDR_SUB} - 1")
+    return F.when(bucket < _HDR_SUB, bucket).otherwise(
+        (bucket - k * _HDR_SUB)
+        * F.expr(f"shiftleft(1L, cast(bucket div {_HDR_SUB} - 1 as int))")
+    )
+
+
+def hdr_quantiles(
+    documents: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    percentiles_milli: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Gate: sketch per-group value quantiles, report them NEXT TO the
+    exact percentiles (operators/profile.py machinery) with the error
+    in permille — the quantile member of the sketch trio (HLL =
+    cardinality, CMS = frequency, HDR = quantiles).
+
+    Why a third quantile path exists (vs value_percentiles, which is
+    exact): the exact table's shuffle is bounded by the value DOMAIN —
+    fine for n_chars, unbounded for e.g. byte sizes or latencies at
+    crawl scale. The HDR bucket table is ≤ ~1k rows per group for the
+    ENTIRE int64 domain, mergeable across shards/days by re-sum, and
+    the rank-select over it is the identical cumulative-window +
+    integer-ceil threshold — so you keep running quantiles over a
+    growing corpus without rescanning it, at a guaranteed ≤ 2^-S
+    relative error that the gate output makes visible per row.
+    """
+    from pyspark.sql.window import Window
+
+    from azure_pdf_parser_spark.operators.profile import value_percentiles
+
+    sketch = hdr_quantile_sketch(documents, group_col, value_col)
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketch.select(
+        "grp",
+        _hdr_lower_bound(F.col("bucket")).cast("bigint").alias("lb"),
+        F.sum("cnt").over(w_cum).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("_n"),
+    )
+    aggs = [F.max("_n").cast("bigint").alias("n")]
+    for pm in percentiles_milli:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr(f"(_n * {pm} + 999) div 1000"),
+                    F.col("lb"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{pm}_est")
+        )
+    est = cum.groupBy("grp").agg(*aggs)
+    exact = value_percentiles(
+        documents, group_col, value_col, percentiles_milli
+    )
+    err = [
+        F.expr(f"abs(p{pm} - p{pm}_est) * 1000 div greatest(p{pm}, 1)")
+        .cast("bigint")
+        .alias(f"err{pm}_permille")
+        for pm in percentiles_milli
+    ]
+    return est.join(exact, ["grp"]).select(
+        "grp",
+        est.n.alias("n"),
+        *[F.col(f"p{pm}_est") for pm in percentiles_milli],
+        *[F.col(f"p{pm}").cast("bigint").alias(f"p{pm}") for pm in percentiles_milli],
+        *err,
+    )
+
+
+def hdr_quantiles_sql(
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    percentiles_milli: tuple[int, ...] = (500, 900, 990),
+) -> str:
+    s = HDR_SUB_BITS
+    sub = _HDR_SUB
+    est_terms = ",\n       ".join(
+        f"CAST(min(CASE WHEN cum >= (n * {pm} + 999) // 1000 THEN lb END) "
+        f"AS BIGINT) AS p{pm}_est"
+        for pm in percentiles_milli
+    )
+    exact_terms = ",\n       ".join(
+        f"CAST(min(CASE WHEN cum >= (n * {pm} + 999) // 1000 THEN v END) "
+        f"AS BIGINT) AS p{pm}"
+        for pm in percentiles_milli
+    )
+    err_terms = ",\n       ".join(
+        f"CAST(abs(p{pm} - p{pm}_est) * 1000 // greatest(p{pm}, 1) AS BIGINT) "
+        f"AS err{pm}_permille"
+        for pm in percentiles_milli
+    )
+    return f"""
+WITH vals AS (
+    SELECT {group_col} AS grp, CAST({value_col} AS BIGINT) AS v
+    FROM documents WHERE {value_col} IS NOT NULL
+),
+sketch AS (
+    SELECT grp,
+           CASE WHEN v < {sub} THEN v
+                ELSE (length(bin(v)) - {1 + s}) * {sub}
+                     + v // (1::BIGINT << (length(bin(v)) - {1 + s}))
+           END AS bucket,
+           count(*) AS cnt
+    FROM vals GROUP BY 1, 2
+),
+cum AS (
+    SELECT grp,
+           CASE WHEN bucket < {sub} THEN bucket
+                ELSE (bucket - (bucket // {sub} - 1) * {sub})
+                     * (1::BIGINT << CAST(bucket // {sub} - 1 AS INT))
+           END AS lb,
+           sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY grp) AS n
+    FROM sketch
+),
+est AS (
+    SELECT grp, CAST(max(n) AS BIGINT) AS n,
+       {est_terms}
+    FROM cum GROUP BY grp
+),
+exact_cum AS (
+    SELECT grp, v,
+           sum(c) OVER (PARTITION BY grp ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY grp) AS n
+    FROM (SELECT grp, v, count(*) AS c FROM vals GROUP BY grp, v)
+),
+exact AS (
+    SELECT grp,
+       {exact_terms}
+    FROM exact_cum GROUP BY grp
+)
+SELECT est.grp, est.n,
+       {", ".join(f"p{pm}_est" for pm in percentiles_milli)},
+       {", ".join(f"p{pm}" for pm in percentiles_milli)},
+       {err_terms}
+FROM est JOIN exact ON est.grp = exact.grp
 """

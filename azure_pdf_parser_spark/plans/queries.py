@@ -33,6 +33,7 @@ from azure_pdf_parser_spark.operators import (
     extract_spans,
 )
 from azure_pdf_parser_spark.operators import bpe, classifier, graph, sketches
+from azure_pdf_parser_spark.operators import chunking, snapshots
 from azure_pdf_parser_spark.operators import profile as profile_ops
 from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import urls
@@ -868,6 +869,43 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 construction → bit-exact oracle; exact count + permille error
     reported alongside (test-scale verification columns)."""
     return sketches.hll_distinct_tokens(_docs(spark, sf_dir))
+
+
+@query("hdr_quantiles", sketches.hdr_quantiles_sql())
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR log-linear quantile sketch (n_chars by source): the quantile
+    member of the mergeable-sketch trio (HLL = cardinality, CMS =
+    frequency). Bucket table ≤ ~1k rows/group for the full int64
+    domain — vs the value-DOMAIN-bounded exact table of
+    value_percentiles — mergeable by re-sum; octave from length(bin(v))
+    (exact integer, no float log2), rank-select via the same
+    cumulative-window + integer-ceil threshold. Exact percentiles and
+    permille error reported alongside (≤ 2^-4 relative by
+    construction)."""
+    return sketches.hdr_quantiles(_docs(spark, sf_dir))
+
+
+@query("chunk_documents", chunking.chunk_documents_sql())
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (RAG / long-doc preprocessing):
+    64-token windows every 48 tokens, last window right-aligned to the
+    document end. Map-only split → sequence fan-out → slice, zero
+    exchange (plan-pinned), no UDF — the within-document complement of
+    pack_sequences' cross-document packing."""
+    return chunking.chunk_documents(_docs(spark, sf_dir))
+
+
+@query("snapshot_diff", snapshots.SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot diff (added/removed/changed/unchanged per doc):
+    the delta gate every incremental corpus refresh runs first so
+    re-parse/re-dedup/re-embed touch only added+changed. One full-outer
+    equi-join whose exchange carries (doc_id, md5) pairs — never the
+    documents; exchange-free when snapshots are stored doc_id-bucketed
+    (minhash_bucketed_pairs pattern). Test snapshots derived
+    deterministically from md5(doc_id) strata; status comes from
+    content hashes (NULL-safe), never the strata."""
+    return snapshots.snapshot_diff(_docs(spark, sf_dir))
 
 
 @query("table_profile", profile_ops.profile_table_sql())
@@ -2242,6 +2280,9 @@ REGISTRY_ORDER = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     # — new this round —
+    "hdr_quantiles",
+    "chunk_documents",
+    "snapshot_diff",
     "events_range_join",
     "skew_profile",
     "tpch_q5_local_supplier",
@@ -2260,7 +2301,6 @@ REGISTRY_ORDER = [
     "ann_rrf_fusion",
     "bpe_train",
     "bpe_encode",
-    "bpe_pair_counts",
     "bpe_lifecycle",
     "quality_weighted_sample",
     "classifier_quality",
@@ -2284,9 +2324,19 @@ REGISTRY_ORDER = [
     "minhash_index_dedup",
     "minhash_bucketed_pairs",
     "stream_ingest_commit",
-    "training_shards",
-    "pack_sequences",
     "pdf_media_features",
+    # — rotated past the cap to make room for the three newest gates
+    #   (hdr_quantiles / chunk_documents / snapshot_diff), chosen
+    #   because their code paths are covered without a driver row:
+    #   bpe_pair_counts' pair-count stage IS round 1 of in-cap
+    #   bpe_train; pack_sequences is untouched since early r3 (packing
+    #   math pinned by tests/test_packing.py) and training_shards is
+    #   the composition of in-cap corpus_curation with that same
+    #   packing stage — all three still oracle-checked every pytest
+    #   run by tests/test_queries_vs_oracle.py —
+    "bpe_pair_counts",
+    "pack_sequences",
+    "training_shards",
     # — first entries past a ~50-row cap: the three EVALUATION
     #   harnesses (recall/precision/confusion over operators whose
     #   value-bearing gates sit in-cap above: minhash family,

@@ -183,3 +183,31 @@ def test_pii_scrub_matches_oracle_on_adversarial_text(spark, rows):
     the two engines."""
     sf_dir = _write_sf_dir(rows)
     compare_query(spark, sf_dir, "pii_scrub")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs)
+def test_chunk_documents_matches_oracle_on_random_docs(spark, rows):
+    """Chunk boundaries ride string_split semantics: repeated spaces,
+    empty strings, and multi-byte tokens must slice identically
+    (Spark slice(length) vs DuckDB list_slice(inclusive end))."""
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "chunk_documents")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_docs)
+def test_snapshot_diff_matches_oracle_on_random_docs(spark, rows):
+    """Status classification must agree on NULL text (md5(NULL) → NULL
+    on both engines, compared NULL-safe) and on unicode md5 (UTF-8
+    bytes on both sides)."""
+    sf_dir = _write_sf_dir(rows)
+    compare_query(spark, sf_dir, "snapshot_diff")

@@ -120,3 +120,101 @@ def test_cms_never_underestimates_and_merges(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+# --- HDR quantile sketch ---------------------------------------------------------
+
+
+def _py_hdr_bucket(v: int, s: int = 4) -> int:
+    """Python reference for the log-linear bucket id."""
+    sub = 1 << s
+    if v < sub:
+        return v
+    e = v.bit_length() - 1  # == length(bin(v)) - 1
+    return (e - s) * sub + (v >> (e - s))
+
+
+def _py_hdr_lb(b: int, s: int = 4) -> int:
+    sub = 1 << s
+    if b < sub:
+        return b
+    k = b // sub - 1
+    return (b - k * sub) << k
+
+
+def test_hdr_bucket_matches_python_reference(spark):
+    """Engine bucket/lower-bound math vs the bit-level Python
+    reference, across small values, power-of-two boundaries, and
+    large magnitudes; plus the sandwich invariant
+    lb(bucket(v)) <= v < lb(bucket(v)+1) and bucket monotonicity."""
+    vals = (
+        list(range(0, 300))
+        + [2**k + d for k in range(4, 62) for d in (-1, 0, 1)]
+        + [10**9, 10**12, 2**62]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v: long").select(
+        F.lit("g").alias("grp_col"), F.col("v")
+    )
+    sk = sketches.hdr_quantile_sketch(df, "grp_col", "v")
+    got = {
+        r.bucket: r.cnt for r in sk.collect()
+    }
+    want: dict[int, int] = {}
+    for v in vals:
+        b = _py_hdr_bucket(v)
+        want[b] = want.get(b, 0) + 1
+        assert _py_hdr_lb(b) <= v, (v, b)
+        assert v < _py_hdr_lb(b + 1), (v, b)
+    assert got == want
+    bs = [_py_hdr_bucket(v) for v in sorted(set(vals))]
+    assert bs == sorted(bs)  # monotone in v
+
+
+def test_hdr_sketch_merge_equals_sketch_of_union(spark):
+    """Re-summing two shard sketches == sketch of the whole shard —
+    the mergeability that lets quantiles roll forward per day without
+    rescanning the corpus."""
+    a = spark.range(0, 4000).select(
+        F.lit("g").alias("grp_col"), (F.col("id") * 7 % 50_000).alias("v")
+    )
+    b = spark.range(4000, 9000).select(
+        F.lit("g").alias("grp_col"), (F.col("id") * 7 % 50_000).alias("v")
+    )
+    merged = (
+        sketches.hdr_quantile_sketch(a, "grp_col", "v")
+        .unionByName(sketches.hdr_quantile_sketch(b, "grp_col", "v"))
+        .groupBy("grp", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketches.hdr_quantile_sketch(
+        a.unionByName(b), "grp_col", "v"
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hdr_quantiles_error_bound(spark):
+    """Estimates are bucket lower bounds: est <= exact and the
+    relative error stays within the 2^-4 = 62.5-permille design bound
+    (+ a grain for integer rounding) for every group/percentile."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = sketches.hdr_quantiles(docs).collect()
+    assert rows
+    for r in rows:
+        for pm in (500, 900, 990):
+            est, exact = r[f"p{pm}_est"], r[f"p{pm}"]
+            assert est <= exact, (r.grp, pm, est, exact)
+            assert r[f"err{pm}_permille"] <= 63, (r.grp, pm, est, exact)
+
+
+def test_hdr_sketch_is_one_bounded_exchange(spark):
+    """The sketch build is a single partial-agg groupBy on
+    (grp, bucket) — ≤ ~1k rows per group through the exchange for the
+    entire int64 domain."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from tests.test_physical_plans import _nodes, _plan
+
+    nodes = _nodes(_plan(sketches.hdr_quantile_sketch(docs, "source", "n_chars")))
+    assert nodes.count("Exchange") == 1, nodes
+    assert "HashAggregate" in nodes, nodes
