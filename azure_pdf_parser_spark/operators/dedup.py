@@ -383,10 +383,14 @@ def bucketed_band_pairs(spark, table_name: str) -> DataFrame:
     )
 
 
-def _bands_cte_sql(prefix: str, doc_filter: str) -> str:
+def _bands_cte_sql(
+    prefix: str, doc_filter: str, text_expr: str = "d.text"
+) -> str:
     """Prefixed shingles→sig→bands CTE chain over filtered documents —
     the oracle twin of ``lsh_bands`` on a corpus subset (df cap scoped
-    to the subset, matching the engine's per-side universes)."""
+    to the subset, matching the engine's per-side universes).
+    ``text_expr`` lets a side shingle a DERIVED text (the snapshot
+    gate's prior-revision column) instead of the stored one."""
     band_rows = []
     rows_per_band = N_MINHASH // N_BANDS
     for b in range(N_BANDS):
@@ -402,11 +406,11 @@ def _bands_cte_sql(prefix: str, doc_filter: str) -> str:
 {prefix}_shingles_all AS (
     SELECT DISTINCT doc_id, shingle FROM (
         SELECT d.doc_id,
-               CASE WHEN len(w.words) < 3 THEN d.text
+               CASE WHEN len(w.words) < 3 THEN {text_expr}
                     ELSE array_to_string(list_slice(w.words, t.i + 1, t.i + 3), ' ')
                END AS shingle
         FROM documents d
-        CROSS JOIN LATERAL (SELECT string_split(d.text, ' ') AS words) w
+        CROSS JOIN LATERAL (SELECT string_split({text_expr}, ' ') AS words) w
         CROSS JOIN LATERAL (
             SELECT UNNEST(range(CAST(greatest(len(w.words) - 2, 1) AS BIGINT))) AS i
         ) t

@@ -72,6 +72,21 @@ def new_snapshot(documents: DataFrame) -> DataFrame:
     )
 
 
+def old_snapshot_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, text): the prior crawl's CONTENT — revised docs carry
+    their truncated prior text. This is the table the historical dedup
+    index was built from (vs :func:`old_snapshot`, which carries only
+    the content hash the diff needs)."""
+    route = _route(F.col("doc_id"))
+    old_text = F.when(
+        F.substring(route, 2, 1).isin(*REVISED),
+        F.substring(F.col("text"), 1, REVISED_PREFIX),
+    ).otherwise(F.col("text"))
+    return documents.where(
+        ~F.substring(route, 1, 1).isin(*OLD_ABSENT)
+    ).select("doc_id", old_text.alias("text"))
+
+
 def snapshot_diff(documents: DataFrame) -> DataFrame:
     """(doc_id, status, old_md5, new_md5), one row per doc present in
     either snapshot. status ∈ {added, removed, changed, unchanged};
@@ -92,29 +107,108 @@ def snapshot_diff(documents: DataFrame) -> DataFrame:
     return d.select("doc_id", status.alias("status"), "old_md5", "new_md5")
 
 
-SNAPSHOT_DIFF_SQL = f"""
-WITH old AS (
+# shared strata fragments (``{id}`` = the doc_id column reference):
+# the Spark expressions above and every oracle below derive from these
+_IN = lambda cs: ", ".join(repr(c) for c in cs)  # noqa: E731
+_OLD_FILTER = (
+    f"substr(md5(CAST({{id}} AS VARCHAR)), 1, 1) NOT IN ({_IN(OLD_ABSENT)})"
+)
+_NEW_FILTER = (
+    f"substr(md5(CAST({{id}} AS VARCHAR)), 1, 1) NOT IN ({_IN(NEW_ABSENT)})"
+)
+_OLD_TEXT = (
+    f"CASE WHEN substr(md5(CAST({{id}} AS VARCHAR)), 2, 1) IN ({_IN(REVISED)}) "
+    f"THEN substr({{text}}, 1, {REVISED_PREFIX}) ELSE {{text}} END"
+)
+
+_SNAPSHOT_CTES = f"""
+old AS (
     SELECT doc_id,
-           md5(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
-                         IN ({", ".join(repr(c) for c in REVISED)})
-                    THEN substr(text, 1, {REVISED_PREFIX})
-                    ELSE text END) AS old_md5,
+           md5({_OLD_TEXT.format(id="doc_id", text="text")}) AS old_md5,
            TRUE AS in_old
     FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-          NOT IN ({", ".join(repr(c) for c in OLD_ABSENT)})
+    WHERE {_OLD_FILTER.format(id="doc_id")}
 ),
 new AS (
     SELECT doc_id, md5(text) AS new_md5, TRUE AS in_new
     FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-          NOT IN ({", ".join(repr(c) for c in NEW_ABSENT)})
-)
-SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.in_old IS NULL THEN 'added'
-            WHEN n.in_new IS NULL THEN 'removed'
-            WHEN o.old_md5 IS DISTINCT FROM n.new_md5 THEN 'changed'
-            ELSE 'unchanged' END AS status,
-       o.old_md5, n.new_md5
-FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE {_NEW_FILTER.format(id="doc_id")}
+),
+diff AS (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.in_old IS NULL THEN 'added'
+                WHEN n.in_new IS NULL THEN 'removed'
+                WHEN o.old_md5 IS DISTINCT FROM n.new_md5 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_md5, n.new_md5
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)"""
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH {_SNAPSHOT_CTES}
+SELECT doc_id, status, old_md5, new_md5 FROM diff
 """
+
+
+def snapshot_delta_dedup(documents: DataFrame) -> DataFrame:
+    """Incremental-refresh near-dedup: probe ONLY the delta
+    (added+changed docs, straight off :func:`snapshot_diff`) against
+    the LSH band index of the PRIOR snapshot's content — the
+    composition every monthly-crawl pipeline runs: diff first, then
+    dedup the delta, never the corpus.
+
+    Output (doc_id, dup_of, n_shared_bands): doc_id is a delta doc,
+    dup_of a prior-snapshot doc sharing ≥1 LSH band. A CHANGED doc
+    matching its own prior revision (doc_id == dup_of) is a real and
+    expected row — "this update is a near-dup of what we already
+    have" is precisely the signal that suppresses re-embedding
+    near-identical revisions.
+
+    Scale shape: the delta is bounded by contract (crawl deltas ≪
+    corpus) so its band table broadcasts into one streamed scan of
+    the index (:func:`~.dedup.probe_minhash_index`); the index side —
+    4×10¹² rows at corpus scale — never shuffles. The diff itself
+    exchanges only (doc_id, md5) pairs. Each side's shingle df cap is
+    scoped to that side (its own skew universe), mirrored in the
+    oracle via ``_bands_cte_sql``.
+    """
+    from azure_pdf_parser_spark.operators import dedup
+
+    diff = snapshot_diff(documents)
+    delta_ids = diff.where(
+        F.col("status").isin("added", "changed")
+    ).select("doc_id")
+    route = _route(F.col("doc_id"))
+    new_docs = documents.where(
+        ~F.substring(route, 1, 1).isin(*NEW_ABSENT)
+    ).select("doc_id", "text")
+    delta_docs = new_docs.join(delta_ids, ["doc_id"], "left_semi")
+    index = dedup.lsh_bands(old_snapshot_docs(documents))
+    return dedup.probe_minhash_index(index, delta_docs)
+
+
+def snapshot_delta_dedup_sql() -> str:
+    from azure_pdf_parser_spark.operators.dedup import _bands_cte_sql
+
+    old_filter = _OLD_FILTER.format(id="d.doc_id")
+    old_text = _OLD_TEXT.format(id="d.doc_id", text="d.text")
+    new_filter = (
+        _NEW_FILTER.format(id="d.doc_id")
+        + " AND d.doc_id IN (SELECT doc_id FROM delta)"
+    )
+    return (
+        f"WITH {_SNAPSHOT_CTES},\n"
+        "delta AS (\n"
+        "    SELECT doc_id FROM diff WHERE status IN ('added', 'changed')\n"
+        "),"
+        + _bands_cte_sql("hist", old_filter, text_expr=old_text)
+        + ","
+        + _bands_cte_sql("probe", new_filter)
+        + """
+SELECT p.doc_id, x.doc_id AS dup_of,
+       CAST(count(DISTINCT p.band_idx) AS BIGINT) AS n_shared_bands
+FROM probe_bands p JOIN hist_bands x
+  ON p.band_idx = x.band_idx AND p.band_hash = x.band_hash
+GROUP BY p.doc_id, x.doc_id
+"""
+    )

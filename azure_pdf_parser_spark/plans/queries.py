@@ -908,6 +908,17 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshots.snapshot_diff(_docs(spark, sf_dir))
 
 
+@query("snapshot_delta_dedup", snapshots.snapshot_delta_dedup_sql())
+def q_snapshot_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-refresh composition: snapshot_diff's added+changed
+    delta probed against the PRIOR snapshot's LSH band index — dedup
+    the delta, never the corpus. Delta band table broadcasts into one
+    streamed index scan (the index side never shuffles); a changed doc
+    matching its own prior revision is the expected
+    suppress-re-embedding signal."""
+    return snapshots.snapshot_delta_dedup(_docs(spark, sf_dir))
+
+
 @query("table_profile", profile_ops.profile_table_sql())
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profiling (null rates, exact distincts,
@@ -2283,6 +2294,7 @@ REGISTRY_ORDER = [
     "hdr_quantiles",
     "chunk_documents",
     "snapshot_diff",
+    "snapshot_delta_dedup",
     "events_range_join",
     "skew_profile",
     "tpch_q5_local_supplier",
@@ -2322,21 +2334,26 @@ REGISTRY_ORDER = [
     "ivf_kmeans_refine",
     "semantic_dedup",
     "minhash_index_dedup",
-    "minhash_bucketed_pairs",
     "stream_ingest_commit",
     "pdf_media_features",
-    # — rotated past the cap to make room for the three newest gates
-    #   (hdr_quantiles / chunk_documents / snapshot_diff), chosen
-    #   because their code paths are covered without a driver row:
-    #   bpe_pair_counts' pair-count stage IS round 1 of in-cap
-    #   bpe_train; pack_sequences is untouched since early r3 (packing
-    #   math pinned by tests/test_packing.py) and training_shards is
-    #   the composition of in-cap corpus_curation with that same
-    #   packing stage — all three still oracle-checked every pytest
-    #   run by tests/test_queries_vs_oracle.py —
+    # — rotated past the cap to make room for the four newest gates
+    #   (hdr_quantiles / chunk_documents / snapshot_diff /
+    #   snapshot_delta_dedup), chosen because their code paths are
+    #   covered without a driver row: bpe_pair_counts' pair-count
+    #   stage IS round 1 of in-cap bpe_train; pack_sequences is
+    #   untouched since early r3 (packing math pinned by
+    #   tests/test_packing.py) and training_shards is the composition
+    #   of in-cap corpus_curation with that same packing stage;
+    #   minhash_bucketed_pairs emits the IDENTICAL pairs as its
+    #   oracle twin dedup_minhash_lsh (zero-Exchange plan pinned in
+    #   tests/test_physical_plans.py) and its lsh_bands/probe
+    #   machinery now also runs in-cap inside snapshot_delta_dedup
+    #   and minhash_index_dedup — all four still oracle-checked every
+    #   pytest run by tests/test_queries_vs_oracle.py —
     "bpe_pair_counts",
     "pack_sequences",
     "training_shards",
+    "minhash_bucketed_pairs",
     # — first entries past a ~50-row cap: the three EVALUATION
     #   harnesses (recall/precision/confusion over operators whose
     #   value-bearing gates sit in-cap above: minhash family,

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "hdr_quantiles",
     "chunk_documents",
     "snapshot_diff",
+    "snapshot_delta_dedup",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the
@@ -310,7 +311,17 @@ EAGER_BUILD = {
 }
 
 
+# timed repetitions per query: single-shot timings on this shared host
+# show rare >5x outliers AFTER convergent warm runs (external
+# interference — GC, page-cache churn), so every query gets the same
+# fixed repetition count and reports the MEDIAN. Symmetric by
+# construction: reps never depend on the values observed.
+TIMED_REPS = 3
+
+
 def bench_queries(spark) -> dict[str, float]:
+    import statistics
+
     from azure_pdf_parser_spark.caching import release_all
     from azure_pdf_parser_spark.plans.queries import QUERIES
 
@@ -323,19 +334,27 @@ def bench_queries(spark) -> dict[str, float]:
             # warm to JIT steady state (see warm_to_steady_state): same
             # fixed policy for every query
             warm_to_steady_state(df)
-            if name in EAGER_BUILD:
-                # drop the warm run's tracked persists BEFORE timing: the
-                # CacheManager substitutes cached plans by logical-plan
-                # EQUALITY, not DataFrame identity, so a rebuilt query
-                # would silently hit the warm run's materialized
-                # intermediates and report a cache-hit time
-                release_all()
-            t0 = time.perf_counter()
-            if name in EAGER_BUILD:
-                run_noop(QUERIES[name](spark, SF_DIR))
-            else:
-                run_noop(df)
-            timings[name] = round(time.perf_counter() - t0, 3)
+            reps = []
+            for _ in range(TIMED_REPS):
+                if name in EAGER_BUILD:
+                    # drop tracked persists BEFORE each timed rep: the
+                    # CacheManager substitutes cached plans by
+                    # logical-plan EQUALITY, not DataFrame identity, so
+                    # a rebuilt query would silently hit the previous
+                    # rep's materialized intermediates and report a
+                    # cache-hit time. The BUILDER CALL stays INSIDE the
+                    # timed region: iterative operators (CC, BPE train,
+                    # pagerank) run their driver-side loop during build
+                    # — timing only the final projection would measure
+                    # a checkpoint read.
+                    release_all()
+                    t0 = time.perf_counter()
+                    run_noop(QUERIES[name](spark, SF_DIR))
+                else:
+                    t0 = time.perf_counter()
+                    run_noop(df)
+                reps.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(reps), 3)
         finally:
             # operators persist internal intermediates (simhash fps, IVF
             # index); release them so a 30-query sweep doesn't accumulate
@@ -597,12 +616,16 @@ def main() -> None:
     spark = make_session(CPUS)
     try:
         timings = bench_queries(spark)
-        # flagship throughput at full parallelism on the amplified input
+        # flagship throughput at full parallelism on the amplified
+        # input: same median-of-TIMED_REPS policy as every query
+        import statistics
+
         df = flagship(spark, SF_DIR, AMPLIFY)
         warm_to_steady_state(df)
-        t0 = time.perf_counter()
-        run_noop(df)
-        flagship_sec = time.perf_counter() - t0
+        flagship_runs = [
+            _timed(lambda: run_noop(df)) for _ in range(TIMED_REPS)
+        ]
+        flagship_sec = statistics.median(flagship_runs)
     finally:
         spark.stop()
 
@@ -615,6 +638,7 @@ def main() -> None:
         "queries": {**timings, "flagship_extract_amplified": round(flagship_sec, 3)},
         "sf": SF,
         "docs_per_sec": round(n_amplified / flagship_sec, 1),
+        "flagship_runs_sec": [round(t, 3) for t in flagship_runs],
         "n_docs_amplified": n_amplified,
         "scaling": scaling,
         "excluded": EXCLUDED_QUERIES,

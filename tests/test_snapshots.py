@@ -84,3 +84,30 @@ def test_diff_plan_has_no_cartesian_and_thin_exchange(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_delta_dedup_probes_only_the_delta(spark):
+    """Every probe-side doc_id must be an added/changed doc from the
+    diff, changed docs with text beyond the revision prefix should
+    re-match their own prior revision, and the probe must reach the
+    index as a broadcast join (the index side never shuffles)."""
+    from azure_pdf_parser_spark.operators.snapshots import (
+        snapshot_delta_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    diff = {r.doc_id: r.status for r in snapshot_diff(docs).collect()}
+    rows = snapshot_delta_dedup(docs).collect()
+    assert rows
+    for r in rows:
+        assert diff[r.doc_id] in ("added", "changed"), (r.doc_id, diff[r.doc_id])
+        assert 1 <= r.n_shared_bands <= 4
+    self_matches = [r for r in rows if r.doc_id == r.dup_of]
+    assert self_matches, "changed docs should re-match their prior revision"
+    assert all(diff[r.doc_id] == "changed" for r in self_matches)
+
+    from tests.test_physical_plans import _nodes, _plan
+
+    nodes = _nodes(_plan(snapshot_delta_dedup(docs)))
+    assert "BroadcastHashJoin" in nodes, nodes
+    assert "CartesianProduct" not in nodes, nodes
