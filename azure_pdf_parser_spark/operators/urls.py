@@ -300,29 +300,39 @@ def url_canonicalize(documents: DataFrame) -> DataFrame:
     )
 
 
-def url_canonicalize_sql() -> str:
+def canonicalize_sql_ctes(src: str, key_cols: str = "doc_id") -> str:
+    """split/canon CTE chain + final SELECT list mirroring
+    :func:`canonicalize_expr` over any relation ``src(key_cols…, url)``
+    — single-sourced so every gate that canonicalizes (url_canonicalize,
+    html_link_extract) shares the exact SQL restatement."""
     return f"""
-WITH {MESSY_URL_SQL_CTE.strip()},
 split AS (
-    SELECT doc_id, url,
+    SELECT {key_cols}, url,
            split_part(split_part(url, '#', 1), '?', 1) AS base,
            split_part(split_part(url, '#', 1), '?', 2) AS query
-    FROM messy
+    FROM {src}
 ),
 canon AS (
-    SELECT doc_id, url,
+    SELECT {key_cols}, url,
            lower(regexp_extract(base, '^([^/]*//[^/]+)', 1))
              || regexp_replace(base, '^[^/]*//[^/]+', '') AS lowered,
            list_sort(list_filter(string_split(query, '&'),
                x -> NOT starts_with(x, '{_TRACKING_PREFIX}') AND x <> '')) AS kept
     FROM split
 )
-SELECT doc_id, url,
+SELECT {key_cols}, url,
        CASE WHEN len(kept) > 0
             THEN lowered || '?' || array_to_string(kept, '&')
             ELSE lowered END AS canonical_url
-FROM canon
-"""
+FROM canon"""
+
+
+def url_canonicalize_sql() -> str:
+    return (
+        f"WITH {MESSY_URL_SQL_CTE.strip()},"
+        + canonicalize_sql_ctes("messy")
+        + "\n"
+    )
 
 
 # --- Domain-level quality curation ---------------------------------------------

@@ -33,7 +33,7 @@ from azure_pdf_parser_spark.operators import (
     extract_spans,
 )
 from azure_pdf_parser_spark.operators import bpe, classifier, graph, sketches
-from azure_pdf_parser_spark.operators import chunking, snapshots
+from azure_pdf_parser_spark.operators import chunking, links, snapshots
 from azure_pdf_parser_spark.operators import profile as profile_ops
 from azure_pdf_parser_spark.operators import lm as lm_ops
 from azure_pdf_parser_spark.operators import urls
@@ -917,6 +917,17 @@ def q_snapshot_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching its own prior revision is the expected
     suppress-re-embedding signal."""
     return snapshots.snapshot_delta_dedup(_docs(spark, sf_dir))
+
+
+@query("html_link_extract", links.html_link_extract_sql())
+def q_html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier link discovery: double-quoted hrefs regex-
+    extracted from raw HTML markup (no DOM build — the ~100× cheaper
+    frontier path vs the content parser) and canonicalized in the same
+    map-only pass. Zero exchange, plan-pinned; the oracle restates the
+    expected links constructively from the synth formulas — never a
+    regex — so extraction, order, and canonicalization all gate."""
+    return links.html_link_extract(_docs(spark, sf_dir))
 
 
 @query("table_profile", profile_ops.profile_table_sql())
@@ -2295,6 +2306,7 @@ REGISTRY_ORDER = [
     "chunk_documents",
     "snapshot_diff",
     "snapshot_delta_dedup",
+    "html_link_extract",
     "events_range_join",
     "skew_profile",
     "tpch_q5_local_supplier",
@@ -2334,7 +2346,6 @@ REGISTRY_ORDER = [
     "ivf_kmeans_refine",
     "semantic_dedup",
     "minhash_index_dedup",
-    "stream_ingest_commit",
     "pdf_media_features",
     # — rotated past the cap to make room for the four newest gates
     #   (hdr_quantiles / chunk_documents / snapshot_diff /
@@ -2354,6 +2365,13 @@ REGISTRY_ORDER = [
     "pack_sequences",
     "training_shards",
     "minhash_bucketed_pairs",
+    # stream_ingest_commit (rotated for html_link_extract): its oracle
+    # is the SAME kept-spans CTE the in-cap parser_output gates; the
+    # commit protocol itself is pinned by tests/test_stream_ingest.py
+    # + tests/test_manifest_resume.py (crash-replay, re-delivery),
+    # and the gate is bench-excluded scaffolding (temp checkpoint
+    # dirs) — still oracle-checked every pytest run.
+    "stream_ingest_commit",
     # — first entries past a ~50-row cap: the three EVALUATION
     #   harnesses (recall/precision/confusion over operators whose
     #   value-bearing gates sit in-cap above: minhash family,

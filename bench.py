@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "snapshot_diff",
     "snapshot_delta_dedup",
+    "html_link_extract",
 ]
 
 # every queries() entry is either in BENCH_QUERIES or here, with the
