@@ -311,11 +311,14 @@ def hdr_quantile_sketch(
     )
 
 
-def _hdr_lower_bound(bucket):
-    """Smallest value mapping into ``bucket`` (the sketch's quantile
-    answer — an underestimate by at most the sub-bucket width, i.e.
-    relative error ≤ 2^-S). Integer arithmetic only; resolves the
-    ``bucket`` column by name."""
+def _hdr_lower_bound() -> "F.Column":
+    """Smallest value mapping into the ``bucket`` column (the sketch's
+    quantile answer — an underestimate by at most the sub-bucket
+    width, i.e. relative error ≤ 2^-S). Integer arithmetic only;
+    resolves the input column by the fixed name ``bucket`` (the
+    sketch-table schema), taking no argument so a caller can't half-
+    rename it."""
+    bucket = F.col("bucket")
     k = F.expr(f"bucket div {_HDR_SUB} - 1")
     return F.when(bucket < _HDR_SUB, bucket).otherwise(
         (bucket - k * _HDR_SUB)
@@ -356,7 +359,7 @@ def hdr_quantiles(
     )
     cum = sketch.select(
         "grp",
-        _hdr_lower_bound(F.col("bucket")).cast("bigint").alias("lb"),
+        _hdr_lower_bound().cast("bigint").alias("lb"),
         F.sum("cnt").over(w_cum).alias("_cum"),
         F.sum("cnt").over(Window.partitionBy("grp")).alias("_n"),
     )

@@ -41,42 +41,11 @@ def _route(doc_id):
     return F.md5(doc_id.cast("string"))
 
 
-def old_snapshot(documents: DataFrame) -> DataFrame:
-    """(doc_id, old_md5, in_old): the prior crawl. Revised docs carry
-    the md5 of their truncated prior text; NULL text hashes to NULL on
-    both engines (and NULL vs NULL compares 'unchanged' via
-    IS DISTINCT FROM)."""
-    route = _route(F.col("doc_id"))
-    old_text = F.when(
-        F.substring(route, 2, 1).isin(*REVISED),
-        F.substring(F.col("text"), 1, REVISED_PREFIX),
-    ).otherwise(F.col("text"))
-    return documents.where(
-        ~F.substring(route, 1, 1).isin(*OLD_ABSENT)
-    ).select(
-        "doc_id",
-        F.md5(old_text).alias("old_md5"),
-        F.lit(True).alias("in_old"),
-    )
-
-
-def new_snapshot(documents: DataFrame) -> DataFrame:
-    """(doc_id, new_md5, in_new): the current crawl, text as stored."""
-    route = _route(F.col("doc_id"))
-    return documents.where(
-        ~F.substring(route, 1, 1).isin(*NEW_ABSENT)
-    ).select(
-        "doc_id",
-        F.md5(F.col("text")).alias("new_md5"),
-        F.lit(True).alias("in_new"),
-    )
-
-
 def old_snapshot_docs(documents: DataFrame) -> DataFrame:
     """(doc_id, text): the prior crawl's CONTENT — revised docs carry
-    their truncated prior text. This is the table the historical dedup
-    index was built from (vs :func:`old_snapshot`, which carries only
-    the content hash the diff needs)."""
+    their truncated prior text. The single source of the old-side
+    routing: :func:`old_snapshot` hashes it for the diff, the dedup
+    index (:func:`snapshot_delta_dedup`) shingles it."""
     route = _route(F.col("doc_id"))
     old_text = F.when(
         F.substring(route, 2, 1).isin(*REVISED),
@@ -85,6 +54,35 @@ def old_snapshot_docs(documents: DataFrame) -> DataFrame:
     return documents.where(
         ~F.substring(route, 1, 1).isin(*OLD_ABSENT)
     ).select("doc_id", old_text.alias("text"))
+
+
+def new_snapshot_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, text): the current crawl's content — the single source
+    of the new-side routing."""
+    route = _route(F.col("doc_id"))
+    return documents.where(
+        ~F.substring(route, 1, 1).isin(*NEW_ABSENT)
+    ).select("doc_id", "text")
+
+
+def old_snapshot(documents: DataFrame) -> DataFrame:
+    """(doc_id, old_md5, in_old): the prior crawl hashed for the diff.
+    NULL text hashes to NULL on both engines (and NULL vs NULL
+    compares 'unchanged' via IS DISTINCT FROM)."""
+    return old_snapshot_docs(documents).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("old_md5"),
+        F.lit(True).alias("in_old"),
+    )
+
+
+def new_snapshot(documents: DataFrame) -> DataFrame:
+    """(doc_id, new_md5, in_new): the current crawl hashed for the diff."""
+    return new_snapshot_docs(documents).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("new_md5"),
+        F.lit(True).alias("in_new"),
+    )
 
 
 def snapshot_diff(documents: DataFrame) -> DataFrame:
@@ -178,11 +176,9 @@ def snapshot_delta_dedup(documents: DataFrame) -> DataFrame:
     delta_ids = diff.where(
         F.col("status").isin("added", "changed")
     ).select("doc_id")
-    route = _route(F.col("doc_id"))
-    new_docs = documents.where(
-        ~F.substring(route, 1, 1).isin(*NEW_ABSENT)
-    ).select("doc_id", "text")
-    delta_docs = new_docs.join(delta_ids, ["doc_id"], "left_semi")
+    delta_docs = new_snapshot_docs(documents).join(
+        delta_ids, ["doc_id"], "left_semi"
+    )
     index = dedup.lsh_bands(old_snapshot_docs(documents))
     return dedup.probe_minhash_index(index, delta_docs)
 

@@ -80,10 +80,15 @@ def test_diff_plan_has_no_cartesian_and_thin_exchange(spark):
     nodes = _nodes(plan)
     assert "CartesianProduct" not in nodes, nodes
     assert "BroadcastNestedLoopJoin" not in nodes, nodes
-    # every Exchange's output schema is hashes/flags only, never text
+    # every Exchange's output schema is hashes/flags only, never the
+    # raw text column (word-boundary match: 'text#<exprId>' is how a
+    # real column reference renders; substrings like chunk_text or
+    # regexp_extract must not trip this)
+    import re
+
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
-            assert "text" not in line, line
+            assert not re.search(r"(?<![\w_])text#\d+", line), line
 
 
 def test_delta_dedup_probes_only_the_delta(spark):
