@@ -614,19 +614,29 @@ def main() -> None:
     else:
         scaling = bench_scaling(n_docs)
 
+    # flagship throughput at full parallelism on the amplified input:
+    # same median-of-TIMED_REPS policy as every query, but in its OWN
+    # fresh session BEFORE the sweep — measured after the 99-query
+    # sweep in the same JVM, the identical plan ran 2× slower
+    # (8.3 s vs 4.0–4.4 s in a fresh JVM: old-gen/code-cache pollution
+    # from ~300 prior jobs), which is a measurement-order artifact, not
+    # pipeline throughput. A production extract job owns its JVM.
+    import statistics
+
     spark = make_session(CPUS)
     try:
-        timings = bench_queries(spark)
-        # flagship throughput at full parallelism on the amplified
-        # input: same median-of-TIMED_REPS policy as every query
-        import statistics
-
         df = flagship(spark, SF_DIR, AMPLIFY)
         warm_to_steady_state(df)
         flagship_runs = [
             _timed(lambda: run_noop(df)) for _ in range(TIMED_REPS)
         ]
         flagship_sec = statistics.median(flagship_runs)
+    finally:
+        spark.stop()
+
+    spark = make_session(CPUS)
+    try:
+        timings = bench_queries(spark)
     finally:
         spark.stop()
 
