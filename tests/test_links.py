@@ -42,13 +42,14 @@ def test_extraction_recovers_every_synthesized_anchor(spark):
 def test_extract_links_handles_messy_markup(spark):
     """Attribute extraction over hand-built pages: multiple anchors on
     one line, single-quoted hrefs NOT matched (documented contract),
-    empty href skipped by the canonical filter path, no anchors → no
-    rows."""
+    an empty href="" yields no row (HREF_RE requires a non-empty
+    value), no anchors → no rows."""
     pages = spark.createDataFrame(
         [
             (1, '<a href="http://A.com/x?b=2&a=1#f">x</a><a href="http://b.com/">y</a>'),
             (2, "<a href='http://single.quoted/'>nope</a>"),
             (3, "<p>no links at all</p>"),
+            (4, '<a href="">empty</a>'),
         ],
         "doc_id: long, html: string",
     )
