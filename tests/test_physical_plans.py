@@ -185,16 +185,51 @@ def test_tpch_q5_broadcasts_every_dim(spark):
     assert nodes.count("BroadcastHashJoin") >= 4, nodes
     assert "CartesianProduct" not in nodes, nodes
     assert "BroadcastNestedLoopJoin" not in nodes, nodes
-    # the SF-scaling sides must not carry a forced broadcast hint:
-    # queries.py is the source of truth — grep its Q5 body
-    import inspect
-
-    from azure_pdf_parser_spark.plans import queries as qmod
-
-    src = inspect.getsource(qmod.q_tpch_q5)
-    assert "F.broadcast(s)" not in src and "F.broadcast(c)" not in src, (
-        "supplier/customer scale with SF — no forced broadcast"
+    # the SF-scaling sides must not carry a forced broadcast hint —
+    # asserted at PLAN level (a source grep could be defeated by
+    # renaming variables or importing broadcast directly): walk the
+    # analyzed logical plan's ResolvedHint nodes and require that no
+    # hinted subtree references a supplier or customer relation.
+    analyzed = (
+        QUERIES["tpch_q5_local_supplier"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
     )
+    hinted = _hinted_subtrees(analyzed)
+    assert len(hinted) == 2, analyzed  # region + nation, nothing else
+    for subtree in hinted:
+        assert "s_suppkey" not in subtree and "c_custkey" not in subtree, (
+            "supplier/customer scale with SF — no forced broadcast:\n"
+            + subtree
+        )
+
+
+def _hinted_subtrees(plan: str) -> list[str]:
+    """The text under each ResolvedHint node of a logical-plan tree
+    string: subsequent lines whose branch marker (`+-`/`:-`) sits
+    deeper than the hint's own marker."""
+
+    def depth(line: str) -> int:
+        for marker in ("+- ", ":- "):
+            if marker in line:
+                return line.index(marker)
+        return -1
+
+    lines = plan.split("\n")
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line:
+            continue
+        d = depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            nd = depth(nxt)
+            if nd >= 0 and nd <= d:
+                break
+            subtree.append(nxt)
+        out.append("\n".join(subtree))
+    return out
 
 
 def test_range_join_plans_as_equi_join(spark):
