@@ -579,6 +579,19 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 
 # --- SimHash -----------------------------------------------------------------
 
+_HEX = "0123456789abcdef"
+SIMHASH_BANDS = 8  # 8 bands × 4 nibbles = 16 bits per band
+MAX_HAMMING = 7  # pigeonhole: ≤7 differing bits touch ≤7 of 8 bands →
+#                  every qualifying pair is guaranteed to share a band
+# Packing bound for the quad-lane counters: fingerprint the first
+# MAX_SIMHASH_TOKENS tokens of each doc so every 16-bit lane's sum stays
+# < 2^16. ~400 KB of text — beyond it, prefix fingerprinting is standard
+# near-dup practice (mirrored in SIMHASH_SQL so the oracle pairs at any
+# doc size).
+MAX_SIMHASH_TOKENS = 65_000
+_LANE_MUL = 1 + (1 << 12) + (1 << 24) + (1 << 36)  # bit spreader: 0/4/8/12 → lanes
+_LANE_MASK = 0x0001_0001_0001_0001  # keep lane-bottom bits only
+
 
 def simhash(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash): 128-bit hex fingerprint.
@@ -587,87 +600,101 @@ def simhash(documents: DataFrame) -> DataFrame:
     md5: bit b of the fingerprint is 1 iff the weighted sum of
     (±token_count) over tokens is positive — equivalently (the form
     computed here) iff 2·Σcnt[bit set] > Σcnt, which needs only
-    NON-NEGATIVE partial sums and so packs two counters per 64-bit
-    aggregate without sign handling.
+    NON-NEGATIVE partial sums and so packs FOUR 16-bit counters per
+    64-bit aggregate without sign handling.
 
-    Plan shape: one row per (doc, token) with md5 staged ONCE as a real
-    column (an earlier formulation put md5 inside an array-lambda body,
-    where it re-ran per element — 32 interpreted md5 calls per row),
-    the 8 16-bit words decoded with conv() (integer codegen), and ONE
-    groupBy(doc_id) carrying 65 packed aggregates (64 dual counters +
-    the token total) instead of 128 when/floor/mod sums — map-side
-    partials, half the aggregation buffer, all whole-stage codegen.
-    Packing bound: each 32-bit half holds Σcnt over one doc — safe to
-    4·10⁹ tokens/doc (a ~20 GB document), far past any real row.
+    Plan shape: one row per token instance with md5 staged ONCE as a
+    real column, the 8 16-bit words decoded with conv() (integer
+    codegen), each word spread into 4 packed lane columns with ONE
+    shift+mask+multiply (bits r, 4+r, 8+r, 12+r land in 16-bit lanes
+    0/16/32/48 — the classic bit-spread multiplier), and ONE
+    groupBy(doc_id) carrying 33 simple column sums (32 quad counters +
+    the token total). Lanes are precomputed in the projection, so the
+    aggregate updates are plain ``sum(col)`` — small generated code,
+    map-side partials, all whole-stage codegen.
+
+    Packing bound: a 16-bit lane holds Σcnt over one doc, so the doc's
+    token count must stay < 2¹⁶. ``MAX_SIMHASH_TOKENS`` (65 000)
+    enforces that by fingerprinting the first 65 000 tokens (~400 KB of
+    text) of oversized docs — a deliberate, documented prefix semantic
+    (mirrored in SIMHASH_SQL via list_slice) that makes the packing
+    overflow-free by construction instead of silently wrapping.
+
+    The wide projections (32 lane columns, 32 nibble decodes) are built
+    as SQL expression STRINGS via ``selectExpr``, not Column-object
+    trees: per-operator Column construction crosses py4j once per node
+    (~1 000 round trips here) and measured 2.3 s of driver time per
+    build — string parsing of the identical expressions is ~0.1 s and
+    produces the same analyzed plan.
     """
     # per token INSTANCE (cnt = 1): summing ±1 over instances equals
     # summing ±cnt over distinct (doc, token) — which removes the
     # (doc_id, token) pre-aggregation SHUFFLE entirely; the one remaining
     # groupBy(doc_id) collapses map-side to one row per doc per partition
     tokens = widen_for_compute(documents).select(
-        "doc_id", F.explode_outer(F.split("text", " ")).alias("token")
+        "doc_id",
+        F.explode_outer(
+            F.slice(F.split("text", " "), 1, MAX_SIMHASH_TOKENS)
+        ).alias("token"),
     ).where(F.col("token").isNotNull())
     words = tokens.select(
-        "doc_id", F.lit(1).cast("long").alias("cnt"), F.md5("token").alias("h")
-    ).select(
+        "doc_id", F.md5("token").alias("h")
+    ).selectExpr(
         "doc_id",
-        "cnt",
         *[
-            F.conv(F.substring("h", b * 4 + 1, 4), 16, 10)
-            .cast("long")
-            .alias(f"w{b}")
+            f"CAST(conv(substring(h, {b * 4 + 1}, 4), 16, 10) AS BIGINT) AS w{b}"
             for b in range(SIMHASH_BANDS)
         ],
     )
-
-    def bitval(c: int):
-        # counter c = 4*pos + bit; hex-string position pos sits in word
-        # pos//4 at nibble slot pos%4 (MSB-first), so fingerprint bit
-        # (pos, bit) is word bit 4*(3 - pos%4) + bit
-        pos, bit = divmod(c, 4)
-        b, k = divmod(pos, 4)
-        return F.shiftright(F.col(f"w{b}"), 4 * (3 - k) + bit).bitwiseAND(
-            F.lit(1)
-        )
-
-    packed = [
-        F.sum(
-            F.col("cnt") * (bitval(2 * j) + bitval(2 * j + 1) * F.lit(1 << 32))
-        ).alias(f"p{j}")
-        for j in range(64)
+    # spread word bits {r, 4+r, 8+r, 12+r} into 16-bit lanes {0,1,2,3}:
+    # ((w >> r) & 0x1111) puts them at bits 0/4/8/12; multiplying by
+    # (1 + 2^12 + 2^24 + 2^36) slides each to its lane bottom and the
+    # lane mask drops every cross term (they never collide — checked
+    # exhaustively in tests/test_dedup_skew.py::test_simhash_lane_spread)
+    lanes = [
+        f"((shiftright(w{b}, {r}) & 4369)"  # 4369 = 0x1111
+        f" * {_LANE_MUL}) & {_LANE_MASK} AS l{b}_{r}"
+        for b in range(SIMHASH_BANDS)
+        for r in range(4)
     ]
-    sums = words.groupBy("doc_id").agg(
-        *packed, F.sum("cnt").alias("_tot")
+    pre = words.selectExpr("doc_id", "CAST(1 AS BIGINT) AS cnt", *lanes)
+    sums = pre.groupBy("doc_id").agg(
+        *[
+            F.sum(f"l{b}_{r}").alias(f"p{b}_{r}")
+            for b in range(SIMHASH_BANDS)
+            for r in range(4)
+        ],
+        F.sum("cnt").alias("_tot"),
     )
 
-    def s1(c: int):
-        j, hi = divmod(c, 2)
-        col = F.col(f"p{j}")
-        return (
-            F.shiftright(col, 32)
-            if hi
-            else col.bitwiseAND(F.lit((1 << 32) - 1))
-        )
+    def counter_sql(pos: int, bit: int) -> str:
+        # hex position pos (MSB-first) is word pos//4, nibble slot
+        # pos%4; word bit 4*(3 - pos%4) + bit lives in lane 3 - pos%4
+        # of aggregate p{word}_{bit}
+        b, k = divmod(pos, 4)
+        return f"(shiftright(p{b}_{bit}, {16 * (3 - k)}) & 65535)"
 
     nib_chars = [
-        F.substring(
-            F.lit(_HEX),
-            sum(
-                F.when(2 * s1(4 * pos + bit) > F.col("_tot"), 2**bit).otherwise(0)
-                for bit in range(4)
-            ).cast("int")
-            + 1,
-            1,
+        f"substring('{_HEX}', CAST("
+        + " + ".join(
+            f"(CASE WHEN 2 * {counter_sql(pos, bit)} > _tot"
+            f" THEN {2 ** bit} ELSE 0 END)"
+            for bit in range(4)
         )
+        + " AS INT) + 1, 1)"
         for pos in range(32)
     ]
-    return sums.select("doc_id", F.concat(*nib_chars).alias("simhash"))
+    return sums.selectExpr(
+        "doc_id", "concat(" + ", ".join(nib_chars) + ") AS simhash"
+    )
 
 
-SIMHASH_SQL = """
+SIMHASH_SQL = f"""
 WITH tokens AS (
     SELECT doc_id, token, count(*) AS cnt FROM (
-        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+        SELECT doc_id,
+               UNNEST(list_slice(string_split(text, ' '), 1, {MAX_SIMHASH_TOKENS})) AS token
+        FROM documents
     ) GROUP BY doc_id, token
 ),
 pos AS (
@@ -700,10 +727,6 @@ FROM nibbles GROUP BY doc_id
 
 # popcount lookup for a 4-bit nibble: POPCOUNT_NIBBLE[v] = bits set in v
 _POPCOUNT_NIBBLE = "0112122312232334"
-_HEX = "0123456789abcdef"
-SIMHASH_BANDS = 8  # 8 bands × 4 nibbles = 16 bits per band
-MAX_HAMMING = 7  # pigeonhole: ≤7 differing bits touch ≤7 of 8 bands →
-#                  every qualifying pair is guaranteed to share a band
 
 
 def _words_expr(sim) -> list:
@@ -744,8 +767,10 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = MAX_HAMMING) -> DataF
     """
     sims = tracked_persist(simhash(documents))
     # the distinct-fingerprint table is persisted too: it feeds both
-    # sides of the band self-join (at production scale both sims and fps
-    # would be checkpointed Iceberg tables between stages)
+    # sides of the band self-join, and under AQE the two sides do NOT
+    # hit ReuseExchange (measured: dropping this persist recomputes the
+    # distinct twice, +0.5 s at sf0.1; at production scale both sims and
+    # fps would be checkpointed Iceberg tables between stages)
     fps = tracked_persist(
         sims.select("simhash")
         .distinct()
@@ -758,22 +783,24 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = MAX_HAMMING) -> DataF
     wa, wb = F.col("a.w"), F.col("b.w")
     # first-matching-band dedup (classic LSH): keep a candidate row only
     # when no EARLIER band also matches — every fingerprint pair survives
-    # exactly once, with no distinct/shuffle. Static AND-chain per
-    # band_idx value so the predicate stays in whole-stage codegen.
-    no_earlier_match = F.lit(True)
-    for bi in range(1, SIMHASH_BANDS):
-        chain = F.lit(True)
-        for e in range(bi):
-            chain = chain & (
-                F.element_at(wa, e + 1) != F.element_at(wb, e + 1)
-            )
-        no_earlier_match = F.when(
-            F.col("band_idx") == bi, chain
-        ).otherwise(no_earlier_match)
+    # exactly once, with no distinct/shuffle. Arithmetic form: build the
+    # 8-bit matched-bands bitmap once (8 comparisons) and require all
+    # bits below band_idx clear — O(bands) generated code instead of the
+    # O(bands²) static AND-chain this replaced, same codegen-friendly
+    # integer ops.
+    matched = sum(
+        (F.element_at(wa, i + 1) == F.element_at(wb, i + 1)).cast("int")
+        * F.lit(1 << i)
+        for i in range(SIMHASH_BANDS)
+    )
+    earlier_mask = F.element_at(
+        F.array(*[F.lit((1 << i) - 1) for i in range(SIMHASH_BANDS)]),
+        F.col("band_idx") + 1,
+    )
     fp_pairs = (
         a.join(b, on=["band_idx", "band_val"])
         .where(F.col("a.simhash") <= F.col("b.simhash"))
-        .where(no_earlier_match)
+        .where(matched.bitwiseAND(earlier_mask) == 0)
         .select(
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),

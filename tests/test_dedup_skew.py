@@ -126,3 +126,40 @@ def test_connected_components_merges_islands_and_keeps_singletons(spark):
     assert got[7] == got[8] == 7
     for singleton in (0, 1, 2, 4, 6):
         assert got[singleton] == singleton
+
+
+def test_simhash_lane_spread_has_no_cross_term_collisions():
+    """The quad-lane packing in dedup.simhash relies on
+    ((w >> r) & 0x1111) * _LANE_MUL & _LANE_MASK extracting word bits
+    {r, 4+r, 8+r, 12+r} into 16-bit lanes {0,1,2,3} with every multiply
+    cross-term masked away. Verify exhaustively over all 2^16 words and
+    all 4 offsets — the docstring's claim, executed."""
+    for w in range(1 << 16):
+        for r in range(4):
+            spread = (((w >> r) & 0x1111) * dedup._LANE_MUL) & dedup._LANE_MASK
+            for k in range(4):
+                want = (w >> (4 * k + r)) & 1
+                assert (spread >> (16 * k)) & 1 == want, (w, r, k)
+            # nothing outside the lane-bottom bits survives the mask
+            assert spread & ~dedup._LANE_MASK == 0
+
+
+def test_simhash_prefix_cap_bounds_lane_sums(spark):
+    """A doc longer than MAX_SIMHASH_TOKENS is fingerprinted on its
+    65k-token prefix (documented packing bound): the fingerprint equals
+    that of the truncated doc, and differs from one whose prefix
+    diverges."""
+    old_cap = dedup.MAX_SIMHASH_TOKENS
+    dedup.MAX_SIMHASH_TOKENS = 8  # shrink the cap so the test is cheap
+    try:
+        rows = [
+            ("long", " ".join(f"w{i}" for i in range(50))),
+            ("prefix", " ".join(f"w{i}" for i in range(8))),
+            ("other", " ".join(f"x{i}" for i in range(50))),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        assert got["long"] == got["prefix"]
+        assert got["long"] != got["other"]
+    finally:
+        dedup.MAX_SIMHASH_TOKENS = old_cap
