@@ -168,10 +168,15 @@ def bpe_train_merges(
     plan shape. Driver traffic is exactly one row per round (the
     argmax) plus the O(n_merges) result list.
     """
+    # eager=False: the checkpoint materializes inside the NEXT round's
+    # argmax job instead of running its own job — one Spark job per
+    # merge round instead of two. Lineage truncation is identical (the
+    # RDD is checkpointed on first compute), so round N+1 never replays
+    # round N's merge.
     syms = (
         word_counts(documents, max_words)
         .select(_chars(F.col("word")).alias("symbols"), "freq")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -189,7 +194,7 @@ def bpe_train_merges(
         merges.append((step, lhs, rhs, merged, count))
         syms = syms.select(
             _merge_apply_expr(lhs, rhs, merged).alias("symbols"), "freq"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -206,8 +211,13 @@ def bpe_train(
     """The merge table as a DataFrame — the persistable tokenizer model
     (step, lhs, rhs, merged, pair_count), O(n_merges) rows."""
     spark = documents.sparkSession
+    merges = bpe_train_merges(documents, n_merges, min_count)
+    # One slice: the model is O(n_merges) driver-sized rows. Letting
+    # createDataFrame split it across defaultParallelism slices makes
+    # every downstream single-task consumer (coalesce(1) writes) pay
+    # ~32 sequential Python-partition evaluations (~140 ms each).
     return spark.createDataFrame(
-        bpe_train_merges(documents, n_merges, min_count), _MERGES_SCHEMA
+        spark.sparkContext.parallelize(merges, 1), _MERGES_SCHEMA
     )
 
 
@@ -338,7 +348,12 @@ def save_merges(merges_df: DataFrame, path: str) -> None:
     O(n_merges) rows, so one file: the production layout is a tiny
     versioned table next to the corpus it was trained on (Iceberg in
     production, parquet here — the ann.save_ivf_index convention)."""
-    merges_df.coalesce(1).write.mode("overwrite").parquet(path)
+    # repartition(1), not coalesce(1): coalesce folds every parent
+    # partition into ONE task, and on a Python-parallelized source each
+    # parent partition costs a sequential Python-worker round-trip
+    # (measured 4.5 s for a 12-row model at 32 slices). repartition
+    # shuffles 12 rows — trivial — and keeps the parents parallel.
+    merges_df.repartition(1).write.mode("overwrite").parquet(path)
 
 
 def load_merges(spark, path: str) -> list[tuple[int, str, str, str, int]]:
