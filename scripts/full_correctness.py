@@ -82,8 +82,9 @@ def main() -> None:
                         normalize_rows(scols, srows)
                     ) == _hash_rows(normalize_rows(dcols, drows))
                 else:
-                    # weaker rows-only check, mirroring the driver
-                    row["rows_match"] = len(srows) >= 0
+                    # weaker rows-only check, mirroring the driver: the
+                    # query ran and collected (no oracle to compare to)
+                    row["rows_match"] = row["spark_rows"] is not None
             except Exception as exc:  # noqa: BLE001 - record, keep sweeping
                 row["err"] = f"{type(exc).__name__}: {exc}"[:300]
             finally:

@@ -83,6 +83,10 @@ def test_golden_fixture_texts_agree_with_reference_langdetect(spark):
     import json
     import os
 
+    import pytest
+
+    if not os.path.isdir("/root/reference/tests/data"):
+        pytest.skip("reference checkout not present at /root/reference")
     expected = {"sample-one-page": "en", "sample-sixteen-page": "ar"}
     texts: list[tuple[str, str]] = []  # (text, expected_code)
     for name, code in expected.items():

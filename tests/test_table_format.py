@@ -137,28 +137,52 @@ def test_iceberg_real_commit_roundtrip_when_jar_present():
             "fallback covered by "
             "test_iceberg_unavailable_in_sandbox_raises_guidance"
         )
+    # Run in a SUBPROCESS spark-submit (the production launch shape):
+    # spark.jars and the catalog registration are static confs, so a
+    # builder.getOrCreate() inside pytest would silently reuse the
+    # shared session fixture WITHOUT the jar — and stopping it would
+    # kill every later Spark test.
+    import subprocess
     import tempfile
+    import textwrap
 
-    from pyspark.sql import SparkSession
-
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with tempfile.TemporaryDirectory() as wh:
-        s = (
-            SparkSession.builder.master("local[2]")
-            .appName("iceberg-roundtrip")
-            .config("spark.jars", hits[0])
-            .config(
-                "spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog"
+        job = os.path.join(wh, "job.py")
+        with open(job, "w") as f:
+            f.write(
+                textwrap.dedent(
+                    """
+                    import sys
+                    from pyspark.sql import SparkSession
+                    sys.path.insert(0, sys.argv[2])
+                    from azure_pdf_parser_spark.sinks.table_format import IcebergFormat
+                    spark = SparkSession.builder.getOrCreate()
+                    fmt = IcebergFormat(catalog="it")
+                    df = spark.range(5).withColumnRenamed("id", "doc_id")
+                    fmt.write(df, "db.t", mode="overwrite")
+                    fmt.write(df, "db.t", mode="append")
+                    n = fmt.read(spark, "db.t").count()
+                    snaps = spark.sql("SELECT * FROM it.db.t.snapshots").count()
+                    print(f"ICEBERG_OK rows={n} snapshots={snaps}")
+                    spark.stop()
+                    """
+                )
             )
-            .config("spark.sql.catalog.it.type", "hadoop")
-            .config("spark.sql.catalog.it.warehouse", wh)
-            .getOrCreate()
+        proc = subprocess.run(
+            [
+                "spark-submit",
+                "--master", "local[2]",
+                "--jars", hits[0],
+                "--conf",
+                "spark.sql.catalog.it=org.apache.iceberg.spark.SparkCatalog",
+                "--conf", "spark.sql.catalog.it.type=hadoop",
+                "--conf", f"spark.sql.catalog.it.warehouse={wh}",
+                job, wh, repo,
+            ],
+            capture_output=True, text=True, timeout=300,
         )
-        try:
-            fmt = IcebergFormat(catalog="it")
-            df = s.range(5).withColumnRenamed("id", "doc_id")
-            fmt.write(df, "db.t", mode="overwrite")
-            fmt.write(df, "db.t", mode="append")
-            assert fmt.read(s, "db.t").count() == 10
-            assert s.sql("SELECT * FROM it.db.t.snapshots").count() >= 2
-        finally:
-            s.stop()
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "ICEBERG_OK rows=10" in proc.stdout, proc.stdout[-2000:]
+        snaps = int(proc.stdout.split("snapshots=")[1].split()[0])
+        assert snaps >= 2
