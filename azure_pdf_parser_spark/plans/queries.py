@@ -2362,6 +2362,56 @@ def q_binaryfile_pdf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jsonl_documents_roundtrip",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(md5(text)) AS min_text_md5,
+       max(md5(text)) AS max_text_md5
+FROM documents
+""",
+)
+def q_jsonl_documents_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 source-format widening: line-delimited JSON as a LOSSLESS
+    ingest format for the documents table. The gate exports the corpus
+    with the K1 sink (sinks/json_export.py: gzip JSONL, explicit
+    nulls), reads it back under the table's explicit schema
+    (FAILFAST — a corrupt line fails loudly), and aggregates the
+    round-tripped frame; the oracle aggregates the ORIGINAL parquet.
+    Any row drop, unicode mangling, null coercion, or schema drift in
+    the write→read cycle breaks the count/sum/md5-extrema hash. The
+    temp-dir write is gate scaffolding; the distributed paths under
+    test are the JSONL writer and schema'd reader themselves (a web
+    corpus commonly lands as JSONL — this is the engine's ingest
+    parity proof)."""
+    import shutil
+    import tempfile
+
+    from azure_pdf_parser_spark.sinks.json_export import (
+        export_json,
+        read_json_export,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    try:
+        path = os.path.join(tmp, "documents.jsonl")
+        export_json(docs, path, mode="overwrite")
+        back = read_json_export(spark, path, docs.schema)
+        agg = back.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min(F.md5(F.col("text").cast("binary"))).alias("min_text_md5"),
+            F.max(F.md5(F.col("text").cast("binary"))).alias("max_text_md5"),
+        )
+        return _detach(spark, agg)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "pdf_media_features",
     f"WITH {SPANIZE_SQL_CTE} {_mm.MEDIA_FEATURES_JPEG_SQL}",
 )
@@ -2471,13 +2521,16 @@ REGISTRY_ORDER = [
     "bpe_encode",
     "bpe_lifecycle",
     "langid_wide",
-    # new gate this round (INVARIANT 1): the O13 per-language
+    # new gates this round (INVARIANT 1): the O13 per-language
     # agreement table (r3 verdict #4) — displaces events_asof_join to
-    # the r5 list exactly as the INVARIANT 3 note anticipates
+    # the r5 list exactly as the INVARIANT 3 note anticipates — and
+    # the JSONL ingest-parity roundtrip (S1 source-format widening) —
+    # displaces spanize, whose derive_spans body runs in-cap inside
+    # extract_spans/parser_output every round
     "langid_agreement",
-    # -- slots 27-49: oldest driver rows first (INVARIANT 3): every
+    "jsonl_documents_roundtrip",
+    # -- slots 28-49: oldest driver rows first (INVARIANT 3): every
     #    remaining gate whose last driver row is r1/r2 that fits --
-    "spanize",
     "dedup_exact",
     "dedup_exact_clusters",
     "dedup_minhash_lsh",
@@ -2585,7 +2638,10 @@ REGISTRY_ORDER = [
     # strictly-stronger in-cap... decontaminate_bloom sits past the
     # cap this round but was r3-green; the exact 13-gram confirm join
     # is the same; pii_scrub/corpus_stats_rollup are map-only/ROLLUP
-    # projections pinned by their pytests.
+    # projections pinned by their pytests; spanize (displaced by the
+    # jsonl_documents_roundtrip slot) is the derive_spans projection
+    # that runs in-cap INSIDE extract_spans/parser_output every round.
+    "spanize",
     "token_stats",
     "vocab_topk",
     "media_features_gif",

@@ -105,3 +105,30 @@ def test_raw_ir_sink_replays_identically(spark):
         # full-row equality including nested text_blocks/page_metadata
         assert replayed.exceptAll(live).count() == 0
         assert live.exceptAll(replayed).count() == 0
+
+
+def test_jsonl_documents_ingest_row_identical(spark):
+    """S1 JSONL ingest parity at row granularity (the gate's aggregate
+    form is jsonl_documents_roundtrip): every documents row survives
+    the gzip-JSONL write→schema'd read cycle byte-identically —
+    unicode text, lang/source strings, int64s."""
+    from azure_pdf_parser_spark.sinks.json_export import (
+        export_json,
+        read_json_export,
+    )
+    from azure_pdf_parser_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        export_json(docs, f"{tmp}/docs", mode="overwrite")
+        back = read_json_export(spark, f"{tmp}/docs", docs.schema)
+        cols = sorted(docs.columns)
+        orig = sorted(tuple(r) for r in docs.select(*cols).collect())
+        rt = sorted(tuple(r) for r in back.select(*cols).collect())
+        assert len(orig) == len(rt) and orig == rt
+
+
+def test_jsonl_roundtrip_gate_matches_oracle(spark):
+    from tests.oracle_utils import compare_query
+
+    compare_query(spark, SF_DIR, "jsonl_documents_roundtrip")
