@@ -584,3 +584,19 @@ def test_table_profile_is_one_scan(spark):
     nodes = _nodes(_plan(QUERIES["table_profile"](spark, SF_DIR)))
     assert nodes.count("Scan") == 1, nodes
     assert "Generate" in nodes, nodes  # wide→long explode stays engine-side
+
+
+def test_langid_agreement_bounded_aggregation(spark):
+    """The agreement table's plan must stay detector-then-tiny-aggs:
+    no Python eval anywhere, and every exchange carries a key space
+    bounded by the language count (source × lang_true × lang_pred ≤
+    2×60×60), never corpus-scale data — the union's detector columns
+    reduce map-side. Exchange count is pinned so a regression that
+    adds a corpus-wide shuffle (e.g. a global window) fails here."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["langid_agreement"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    nodes = _nodes(plan)
+    assert nodes.count("Exchange") <= 6, plan
+    assert "Window" not in plan, plan
