@@ -1152,9 +1152,33 @@ def duplicate_passages(
     DuckDB oracle, so any (astronomically unlikely) collision yields
     identical output in both engines.
     """
+    documents = widen_for_compute(documents)
+    merged = _passage_ranges(documents, k)
+    n_words = F.col("end_word") - F.col("start_word") + 1
+    return (
+        merged.join(documents.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("start_word").cast("int").alias("start_word"),
+            F.col("end_word").cast("int").alias("end_word"),
+            n_words.cast("int").alias("n_words"),
+            F.array_join(
+                F.slice(
+                    F.split("text", " "), F.col("start_word") + 1, n_words
+                ),
+                " ",
+            ).alias("passage"),
+        )
+    )
+
+
+def _passage_ranges(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, start_word, end_word): the merged maximal duplicated
+    word ranges — the shared range stage of :func:`duplicate_passages`
+    (which adds the passage text) and :func:`passage_scrub` (which
+    removes the ranges). ``documents`` must already be widened."""
     from pyspark.sql.window import Window
 
-    documents = widen_for_compute(documents)
     words = F.split("text", " ")
     n = F.size(words)
     arr = F.transform(
@@ -1195,25 +1219,71 @@ def duplicate_passages(
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("island"),
     )
-    merged = islands.groupBy("doc_id", "island").agg(
+    return islands.groupBy("doc_id", "island").agg(
         F.min("pos").alias("start_word"),
         (F.max("pos") + F.lit(k - 1)).alias("end_word"),
     )
-    n_words = F.col("end_word") - F.col("start_word") + 1
-    return (
-        merged.join(documents.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            F.col("start_word").cast("int").alias("start_word"),
-            F.col("end_word").cast("int").alias("end_word"),
-            n_words.cast("int").alias("n_words"),
-            F.array_join(
-                F.slice(
-                    F.split("text", " "), F.col("start_word") + 1, n_words
-                ),
-                " ",
-            ).alias("passage"),
+
+
+def passage_scrub(documents: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
+    """(doc_id, n_words_removed, scrubbed_len, scrubbed_md5): the ACT
+    stage of exact-substring dedup — every document rewritten with its
+    cross-document duplicated word ranges REMOVED (the removal step of
+    Lee et al. 2022's "Deduplicating Training Data Makes Language
+    Models Better"; :func:`duplicate_passages` is the find stage).
+
+    Semantics: a word at 0-based position ``i`` is dropped iff some
+    merged duplicated range covers it; remaining words re-join with
+    single spaces. Docs with no duplicated passages pass through with
+    ``n_words_removed = 0``; a fully-duplicated doc scrubs to the empty
+    string (downstream curation drops empties). The scrubbed text is
+    emitted as md5 + length, not the full string — the gate compares
+    content identity without hauling the corpus through the driver.
+
+    Scale shape: the range table (dup docs only, islands are merged so
+    ranges-per-doc is tiny) aggregates per doc and LEFT-joins back on
+    doc_id — one shuffle keyed on the uniform doc id; the word filter
+    itself is array-local (nested HOF: filter-with-index × exists over
+    the doc's own range list), zero additional exchange. The ``_kept``/
+    ``_scrubbed`` intermediates are STAGED as real columns: the
+    projection is lambda-bearing (CodegenFallback, no subexpression
+    elimination), so an inline tree would re-run the O(words×ranges)
+    filter once per consumer (the with_language lesson,
+    functions/text.py).
+    """
+    documents = widen_for_compute(documents)
+    ranges = (
+        _passage_ranges(documents, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("start_word").cast("int").alias("s"),
+                    F.col("end_word").cast("int").alias("e"),
+                )
+            ).alias("_rs")
         )
+    )
+    j = documents.select("doc_id", "text").join(ranges, "doc_id", "left")
+    words = F.split("text", " ")
+    rs = F.coalesce(
+        F.col("_rs"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    )
+    j = j.withColumn(
+        "_kept",
+        F.filter(
+            words,
+            lambda w, i: ~F.exists(rs, lambda r: (i >= r.s) & (i <= r.e)),
+        ),
+    )
+    j = j.withColumn("_scrubbed", F.array_join(F.col("_kept"), " "))
+    return j.select(
+        "doc_id",
+        (F.size(words) - F.size(F.col("_kept")))
+        .cast("int")
+        .alias("n_words_removed"),
+        F.length(F.col("_scrubbed")).cast("int").alias("scrubbed_len"),
+        F.md5(F.col("_scrubbed").cast("binary")).alias("scrubbed_md5"),
     )
 
 
@@ -1260,6 +1330,39 @@ SELECT m.doc_id,
                                   m.start_word + 1, m.end_word + 1), ' ') AS passage
 FROM merged m JOIN documents d USING (doc_id)
 """
+
+# CTE prefix (everything up to and including the `merged` ranges) shared
+# with the scrub oracle — same split idiom as _MINHASH_CAND_CTES
+_PASSAGES_CTES = DUPLICATE_PASSAGES_SQL.rsplit("SELECT m.doc_id", 1)[0]
+
+PASSAGE_SCRUB_SQL = (
+    _PASSAGES_CTES
+    + """,
+ranges AS (
+    SELECT doc_id,
+           list(struct_pack(s := CAST(start_word AS INT),
+                            e := CAST(end_word AS INT))) AS rs
+    FROM merged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(w.words) - len(kept.ws) AS INT) AS n_words_removed,
+       CAST(length(sc.s) AS INT) AS scrubbed_len,
+       md5(sc.s) AS scrubbed_md5
+FROM documents d
+CROSS JOIN LATERAL (SELECT string_split(d.text, ' ') AS words) w
+LEFT JOIN ranges r USING (doc_id)
+CROSS JOIN LATERAL (
+    SELECT [w.words[i + 1] FOR i IN range(len(w.words))
+            IF r.rs IS NULL
+               OR len(list_filter(r.rs, x -> i >= x.s AND i <= x.e)) = 0] AS ws
+) kept
+-- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+-- array_join gives ''): coalesce so a fully-scrubbed doc reads ''
+CROSS JOIN LATERAL (
+    SELECT coalesce(array_to_string(kept.ws, ' '), '') AS s
+) sc
+"""
+)
 
 
 # --- MinHash-LSH recall/precision evaluation ------------------------------------

@@ -1533,6 +1533,21 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "passage_scrub",
+    dedup.PASSAGE_SCRUB_SQL.format(k=dedup.PASSAGE_WORDS),
+)
+def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACT stage of exact-substring dedup (Lee et al. 2022's
+    removal step; duplicate_passages is the find stage): every doc
+    rewritten with its cross-document duplicated word ranges removed —
+    emitted as (n_words_removed, scrubbed_len, scrubbed_md5) so content
+    identity is compared without hauling the corpus. Range table joins
+    back on the uniform doc id (one shuffle); the word filter is
+    array-local (nested HOF over the doc's own tiny range list)."""
+    return dedup.passage_scrub(_docs(spark, sf_dir))
+
+
+@query(
     "dedup_simhash_pairs",
     dedup.SIMHASH_PAIRS_SQL.format(max_hamming=dedup.MAX_HAMMING),
 )
@@ -2450,12 +2465,14 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     `git log -p <round base>..HEAD`). Multi-operator modules are
 #     NOT file-granular — dedup.py hosts ~12 independent operators and
 #     a one-region diff would otherwise evict half the cap. r4 audit:
-#     dedup.py's diff is confined to the simhash block (covered in-cap
-#     by dedup_simhash / dedup_simhash_pairs, slots 20-21); bpe.py's
-#     to the train/save path (bpe_pair_counts slot 4, bpe_train /
-#     bpe_encode / bpe_lifecycle slots 22-24); queries.py adds only
-#     langid_agreement (slot 26). Gates of those files' UNCHANGED
-#     regions (minhash_index_dedup, duplicate_passages,
+#     dedup.py's diff touches the simhash block (covered in-cap by
+#     dedup_simhash / dedup_simhash_pairs, slots 20-21) and the
+#     passages region (_passage_ranges refactor + new passage_scrub —
+#     BOTH passages gates in-cap, slots 28-29); bpe.py's diff is the
+#     train/save path (bpe_pair_counts slot 4, bpe_train / bpe_encode
+#     / bpe_lifecycle slots 22-24); queries.py adds langid_agreement
+#     (slot 26) and jsonl_documents_roundtrip (slot 27). Gates of
+#     those files' UNCHANGED regions (minhash_index_dedup,
 #     stream_dedup_exact, token_stats) follow INVARIANTS 2/3 and are
 #     all re-oracled every pytest run + in CORRECTNESS_FULL_r04.json.
 #   INVARIANT 2 — never-driver-green gates lead the cap until the
@@ -2529,10 +2546,17 @@ REGISTRY_ORDER = [
     # extract_spans/parser_output every round
     "langid_agreement",
     "jsonl_documents_roundtrip",
-    # -- slots 28-49: oldest driver rows first (INVARIANT 3): every
+    # passages region changed in r4 (INVARIANT 1): new passage_scrub +
+    # the _passage_ranges refactor inside duplicate_passages — both
+    # in-cap; displaced: dedup_exact_clusters (exact-dedup core
+    # unchanged, in-cap sibling dedup_exact runs the identical
+    # md5-groupBy region) and tfidf_top_terms (tokenization covered
+    # in-cap by lm_surprisal; tfidf region untouched)
+    "passage_scrub",
+    "duplicate_passages",
+    # -- slots 30-49: oldest driver rows first (INVARIANT 3): every
     #    remaining gate whose last driver row is r1/r2 that fits --
     "dedup_exact",
-    "dedup_exact_clusters",
     "dedup_minhash_lsh",
     "minhash_jaccard_estimate",
     "dedup_ngram_jaccard",
@@ -2548,7 +2572,6 @@ REGISTRY_ORDER = [
     "layout_quarantine",
     "layout_table_blocks",
     "lm_surprisal",
-    "tfidf_top_terms",
     "media_features",
     "quality_scores",
     "repetition_stats",
@@ -2576,7 +2599,6 @@ REGISTRY_ORDER = [
     "semantic_dedup",
     "semantic_order",
     "minhash_index_dedup",
-    "duplicate_passages",
     "corpus_span_dedup",
     "corpus_curation",
     "corpus_mix",
@@ -2642,6 +2664,11 @@ REGISTRY_ORDER = [
     # jsonl_documents_roundtrip slot) is the derive_spans projection
     # that runs in-cap INSIDE extract_spans/parser_output every round.
     "spanize",
+    # displaced by the passages slots (INVARIANT 1): exact-dedup core
+    # unchanged in r4 with in-cap sibling dedup_exact; tfidf region
+    # untouched with tokenization covered in-cap by lm_surprisal
+    "dedup_exact_clusters",
+    "tfidf_top_terms",
     "token_stats",
     "vocab_topk",
     "media_features_gif",

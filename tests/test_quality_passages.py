@@ -189,3 +189,63 @@ def test_ivf_recall_bounds(spark):
     r = rows[0]
     assert r["n_vectors"] > 0
     assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+
+
+def test_passage_scrub_removes_exact_ranges(spark):
+    """The act stage: duplicated ranges drop, everything else survives
+    verbatim; clean docs pass through untouched; a fully-duplicated doc
+    scrubs to the empty string (md5('') both engines)."""
+    import hashlib
+
+    from azure_pdf_parser_spark.operators.dedup import passage_scrub
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (1, f"one two three {shared} tail words here"),
+        (2, f"{shared} completely different ending of second doc"),
+        (3, "nothing in common with the others at all whatsoever today"),
+        (4, "tiny doc"),
+        (5, shared),  # fully duplicated -> scrubs to ''
+        (6, shared),
+    ]
+    out = {r["doc_id"]: r for r in passage_scrub(_mkdocs(spark, rows)).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1: 9 shared words removed, prefix+suffix survive re-joined
+    r = out[1]
+    assert r["n_words_removed"] == 9
+    assert r["scrubbed_md5"] == md5("one two three tail words here")
+    # doc 2: suffix survives
+    assert out[2]["scrubbed_md5"] == md5(
+        "completely different ending of second doc"
+    )
+    # clean docs: zero removed, text unchanged
+    assert out[3]["n_words_removed"] == 0
+    assert out[3]["scrubbed_md5"] == md5(
+        "nothing in common with the others at all whatsoever today"
+    )
+    assert out[4]["n_words_removed"] == 0
+    # fully duplicated: empty scrub
+    for d in (5, 6):
+        assert out[d]["n_words_removed"] == 9
+        assert out[d]["scrubbed_len"] == 0
+        assert out[d]["scrubbed_md5"] == md5("")
+
+
+def test_passage_scrub_single_doc_id_shuffle(spark):
+    """The scrub adds only doc_id-keyed exchanges on top of the find
+    stage — no corpus-wide word shuffle, no cartesian, no Python."""
+    from azure_pdf_parser_spark.operators.dedup import passage_scrub
+
+    plan = _plan(
+        passage_scrub(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan, plan
