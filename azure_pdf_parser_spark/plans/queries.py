@@ -628,6 +628,112 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "reading_order_xycut",
+    _LAYOUT_SQL
+    + """
+, geo AS (
+    SELECT doc_id, page, para_seq, x0, y0, x0 + w AS x1 FROM para_geo
+),
+scan AS (
+    SELECT *, max(x1) OVER (
+        PARTITION BY doc_id, page ORDER BY x0, para_seq
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS prev_max_x1
+    FROM geo
+),
+colid AS (
+    SELECT *, CAST(sum(
+        CASE WHEN prev_max_x1 IS NULL OR x0 > prev_max_x1 THEN 1 ELSE 0 END
+    ) OVER (
+        PARTITION BY doc_id, page ORDER BY x0, para_seq
+        ROWS UNBOUNDED PRECEDING
+    ) AS INT) AS col_id
+    FROM scan
+)
+SELECT doc_id,
+       CAST(page - 1 AS INT) AS page_number,
+       CAST(para_seq AS VARCHAR) AS text_block_id,
+       col_id,
+       CAST(row_number() OVER (
+           PARTITION BY doc_id, page ORDER BY col_id, y0, x0, para_seq
+       ) AS INT) AS reading_rank
+FROM colid
+""",
+)
+def q_reading_order_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-aware reading order (simplified recursive XY-cut): the
+    multi-column upgrade of the plain (y, x) window — naive y-then-x
+    interleaves the columns of a 2-column PDF line by line; real
+    reading order finishes the left column first. Per (doc, page),
+    blocks sorted by left edge form a new COLUMN exactly when a
+    block's x0 clears the running max right edge of everything before
+    it (gaps-and-islands over x-intervals — horizontally disjoint
+    groups); order is then (column, y, x). Works on the block coords
+    the assembly chain emits (×72 of the layout IR's dyadic-rational
+    geometry, so every comparison is exact and scale-invariant —
+    col_id and rank are identical at either scale, and no float
+    reaches the output). One (doc_id, page)-keyed shuffle feeds all
+    three windows — high-cardinality, skew-free."""
+    from pyspark.sql.window import Window
+
+    blocks = (
+        _assembled(spark, sf_dir)
+        .select("doc_id", F.explode_outer("text_blocks").alias("b"))
+        .where(F.col("b").isNotNull())
+    )
+    tl = F.element_at(F.col("b.coords"), 1)
+    tr = F.element_at(F.col("b.coords"), 2)
+    base = blocks.select(
+        "doc_id",
+        F.col("b.page_number").alias("page_number"),
+        F.col("b.text_block_id").alias("text_block_id"),
+        F.col("b.text_block_id").cast("int").alias("seq"),
+        tl.x.alias("x0"),
+        tl.y.alias("y0"),
+        tr.x.alias("x1"),
+    )
+    return xycut_rank(base)
+
+
+def xycut_rank(base: DataFrame) -> DataFrame:
+    """Core of :func:`q_reading_order_xycut`, reusable on any block
+    frame with (doc_id, page_number, text_block_id, seq, x0, y0, x1):
+    column assignment by x-interval islands, then (column, y, x) rank.
+    Behaviorally pinned on a hand-built 2-column page in
+    tests/test_layout_pipeline.py."""
+    from pyspark.sql.window import Window
+
+    wscan = Window.partitionBy("doc_id", "page_number").orderBy(
+        F.col("x0").asc(), F.col("seq").asc()
+    )
+    base = base.withColumn(
+        "prev_max_x1",
+        F.max("x1").over(wscan.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "col_id",
+        F.sum(
+            F.when(
+                F.col("prev_max_x1").isNull()
+                | (F.col("x0") > F.col("prev_max_x1")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wscan.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    worder = Window.partitionBy("doc_id", "page_number").orderBy(
+        "col_id", "y0", "x0", "seq"
+    )
+    return base.select(
+        "doc_id",
+        "page_number",
+        "text_block_id",
+        "col_id",
+        F.row_number().over(worder).alias("reading_rank"),
+    )
+
+
+@query(
     "layout_quarantine",
     f"""
 WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
@@ -2554,7 +2660,13 @@ REGISTRY_ORDER = [
     # in-cap by lm_surprisal; tfidf region untouched)
     "passage_scrub",
     "duplicate_passages",
-    # -- slots 30-49: oldest driver rows first (INVARIANT 3): every
+    # new in r4 (INVARIANT 1): column-aware reading order — displaces
+    # layout_page_metadata (layout.py untouched this round; in-cap
+    # siblings layout_text_blocks/table_blocks/batch_plan/coord_flip/
+    # quarantine exercise the module, and the page-metadata projection
+    # is pinned by the golden-fixture pytests)
+    "reading_order_xycut",
+    # -- slots 31-49: oldest driver rows first (INVARIANT 3): every
     #    remaining gate whose last driver row is r1/r2 that fits --
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -2568,7 +2680,6 @@ REGISTRY_ORDER = [
     "pdf_split",
     "layout_batch_plan",
     "layout_coord_flip",
-    "layout_page_metadata",
     "layout_quarantine",
     "layout_table_blocks",
     "lm_surprisal",
@@ -2669,6 +2780,8 @@ REGISTRY_ORDER = [
     # untouched with tokenization covered in-cap by lm_surprisal
     "dedup_exact_clusters",
     "tfidf_top_terms",
+    # displaced by the reading_order_xycut slot (see INVARIANT 1 note):
+    "layout_page_metadata",
     "token_stats",
     "vocab_topk",
     "media_features_gif",

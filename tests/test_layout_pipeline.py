@@ -247,3 +247,49 @@ def test_plan_batches_parity(spark):
         model.plan_batches(10, 0)
     with pytest.raises(ValueError):
         plan_batches_col(F.lit(10), batch_size=0)
+
+
+def test_xycut_orders_columns_before_rows(spark):
+    """The case plain (y, x) reading order gets WRONG: a 2-column page
+    must finish the left column before starting the right one, and a
+    full-width header above both columns must come first (it x-overlaps
+    both, so it fuses the intervals into one column — rank then falls
+    back to (y, x) inside it only where intervals genuinely overlap)."""
+    from azure_pdf_parser_spark.plans.queries import xycut_rank
+
+    rows = [
+        # two disjoint columns: left x [0,3], right x [5,8]
+        # (doc, page, id, seq, x0, y0, x1)
+        (1, 0, "L1", 0, 0.0, 1.0, 3.0),
+        (1, 0, "R1", 1, 5.0, 1.0, 8.0),
+        (1, 0, "L2", 2, 0.0, 2.0, 3.0),
+        (1, 0, "R2", 3, 5.0, 2.0, 8.0),
+        (1, 0, "L3", 4, 0.0, 3.0, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, page_number int, text_block_id string, seq int,"
+        " x0 double, y0 double, x1 double",
+    )
+    out = {r.text_block_id: r for r in xycut_rank(df).collect()}
+    # left column (col 1) in full before right column (col 2)
+    assert [k for k, v in sorted(out.items(), key=lambda kv: kv[1].reading_rank)] == [
+        "L1", "L2", "L3", "R1", "R2"
+    ]
+    assert {out[k].col_id for k in ("L1", "L2", "L3")} == {1}
+    assert {out[k].col_id for k in ("R1", "R2")} == {2}
+
+    # a full-width header fuses the intervals: everything is one column
+    # and order degrades to (y, x) — exactly the plain reading order
+    rows2 = rows + [(1, 0, "H", 5, 0.0, 0.0, 8.0)]
+    df2 = spark.createDataFrame(
+        rows2,
+        "doc_id long, page_number int, text_block_id string, seq int,"
+        " x0 double, y0 double, x1 double",
+    )
+    out2 = {r.text_block_id: r for r in xycut_rank(df2).collect()}
+    assert out2["H"].reading_rank == 1
+    assert {v.col_id for v in out2.values()} == {1}
+    assert [
+        k for k, v in sorted(out2.items(), key=lambda kv: kv[1].reading_rank)
+    ] == ["H", "L1", "R1", "L2", "R2", "L3"]
