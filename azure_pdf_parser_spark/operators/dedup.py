@@ -1287,7 +1287,11 @@ def passage_scrub(documents: DataFrame, k: int = PASSAGE_WORDS) -> DataFrame:
     )
 
 
-DUPLICATE_PASSAGES_SQL = """
+# Shared CTE prefix (positional shingles -> duplicated hash islands ->
+# merged word ranges) composed into BOTH passages oracles below — a
+# named constant rather than string-splitting one SQL to build the
+# other, so a projection reword can't silently malform the scrub oracle.
+_PASSAGES_CTES = """
 WITH pos_sh AS (
     SELECT d.doc_id, t.i AS pos,
            substr(md5(array_to_string(list_slice(w.words, t.i + 1, t.i + {k}), ' ')), 1, 16) AS h
@@ -1322,6 +1326,11 @@ merged AS (
     SELECT doc_id, min(pos) AS start_word, max(pos) + {k} - 1 AS end_word
     FROM islands GROUP BY doc_id, island
 )
+"""
+
+DUPLICATE_PASSAGES_SQL = (
+    _PASSAGES_CTES
+    + """
 SELECT m.doc_id,
        CAST(m.start_word AS INT) AS start_word,
        CAST(m.end_word AS INT) AS end_word,
@@ -1330,10 +1339,7 @@ SELECT m.doc_id,
                                   m.start_word + 1, m.end_word + 1), ' ') AS passage
 FROM merged m JOIN documents d USING (doc_id)
 """
-
-# CTE prefix (everything up to and including the `merged` ranges) shared
-# with the scrub oracle — same split idiom as _MINHASH_CAND_CTES
-_PASSAGES_CTES = DUPLICATE_PASSAGES_SQL.rsplit("SELECT m.doc_id", 1)[0]
+)
 
 PASSAGE_SCRUB_SQL = (
     _PASSAGES_CTES

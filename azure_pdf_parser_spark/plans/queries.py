@@ -674,8 +674,6 @@ def q_reading_order_xycut(spark: SparkSession, sf_dir: str) -> DataFrame:
     col_id and rank are identical at either scale, and no float
     reaches the output). One (doc_id, page)-keyed shuffle feeds all
     three windows — high-cardinality, skew-free."""
-    from pyspark.sql.window import Window
-
     blocks = (
         _assembled(spark, sf_dir)
         .select("doc_id", F.explode_outer("text_blocks").alias("b"))

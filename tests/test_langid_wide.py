@@ -79,7 +79,8 @@ def test_golden_fixture_texts_agree_with_reference_langdetect(spark):
     whole-document single-language model. All three detector mirrors
     must reproduce those codes on each fixture's raw ``content``
     string AND on the reference's own to_string() analog (the
-    paragraph contents newline-joined)."""
+    paragraph contents space-joined — experimental_base.py:132-134
+    joins text blocks with a single space)."""
     import json
     import os
 
@@ -94,7 +95,7 @@ def test_golden_fixture_texts_agree_with_reference_langdetect(spark):
             for result in json.load(f):
                 texts.append((result["content"], code))
                 paras = result.get("paragraphs") or []
-                joined = "\n".join(p["content"] for p in paras)
+                joined = " ".join(p["content"] for p in paras)
                 if joined:
                     texts.append((joined, code))
     assert len(texts) >= 4 and all(t for t, _ in texts)
