@@ -436,6 +436,48 @@ def language_sql(text_sql: str) -> str:
     )
 
 
+# Document-granularity langid evaluation corpus (r4 verdict ask #4).
+# The langid_agreement gate's documents-source rows are a LABEL AUDIT
+# (the synthetic corpus' `lang` column routes English-ish text); these
+# variants are real per-language text — built ONLY from the language's
+# own LANGID_WIDE_SENTENCES sentence plus a bounded contaminant — so
+# the accuracy rows measure the DETECTOR at document granularity.
+LANGID_DOC_VARIANTS = ("sentence", "repeat3", "head4", "mixed")
+
+
+def langid_doc_variants() -> list[tuple[str, str, str]]:
+    """Deterministic (lang_true, variant, text) rows: 59 languages × 4
+    document shapes (236 rows, stable order = code order × variant
+    order). Ground truth is the construction language.
+
+      sentence — the plain profile sentence (baseline; the granularity
+                 the langid_wide gate already pins at 59/59);
+      repeat3  — the sentence ×3 space-joined: a document long enough
+                 that the LANGID_SAMPLE_CHARS=256 truncation engages
+                 (distinct-token scoring must be repetition-invariant);
+      head4    — the first 4 space-separated words only (short-fragment
+                 stress; spaceless scripts — ja/zh/th/km/my/lo — have
+                 one "word", i.e. the full sentence, by construction);
+      mixed    — the full own-language sentence + the first 5 words of
+                 the ENGLISH sentence (French for en itself): a
+                 lightly code-switched document whose majority language
+                 is the label, the shape real web text takes.
+
+    No apostrophes appear in any sentence (asserted below), so every
+    text embeds directly into single-quoted SQL literals."""
+    rows: list[tuple[str, str, str]] = []
+    en_head = " ".join(LANGID_WIDE_SENTENCES["en"].split(" ")[:5])
+    fr_head = " ".join(LANGID_WIDE_SENTENCES["fr"].split(" ")[:5])
+    for lang, s in LANGID_WIDE_SENTENCES.items():
+        contaminant = fr_head if lang == "en" else en_head
+        rows.append((lang, "sentence", s))
+        rows.append((lang, "repeat3", " ".join([s] * 3)))
+        rows.append((lang, "head4", " ".join(s.split(" ")[:4])))
+        rows.append((lang, "mixed", s + " " + contaminant))
+    assert all("'" not in t for _, _, t in rows)
+    return rows
+
+
 def token_count_expr(text: Column | str) -> Column:
     """Whitespace token count (corpus text is single-space joined)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -293,3 +293,53 @@ def test_xycut_orders_columns_before_rows(spark):
     assert [
         k for k, v in sorted(out2.items(), key=lambda kv: kv[1].reading_rank)
     ] == ["H", "L1", "R1", "L2", "R2", "L3"]
+
+
+def test_xycut_three_columns_and_spanning_header(spark):
+    """r4 verdict ask #7 fixtures for the single-pass island scan.
+
+    (a) A 3-column page: three disjoint x-intervals must come out as
+    three columns, each finished left-to-right before the next starts —
+    the island scan generalizes past the 2-column pin above.
+
+    (b) A full-width header ABOVE the three columns: this is exactly
+    the case where one-pass interval islands merge the columns (the
+    header x-overlaps all three, fusing the intervals) while a
+    RECURSIVE XY-cut would first cut below the header and recover the
+    columns. Current behavior — one fused column, order degrades to
+    (y, x) interleaving — is pinned deliberately; upgrading to a
+    recursive cut must flip this assert knowingly."""
+    from azure_pdf_parser_spark.plans.queries import xycut_rank
+
+    rows = [
+        # (doc, page, id, seq, x0, y0, x1): columns L [0,2], M [3,5], R [6,8]
+        (1, 0, "L1", 0, 0.0, 1.0, 2.0),
+        (1, 0, "M1", 1, 3.0, 1.0, 5.0),
+        (1, 0, "R1", 2, 6.0, 1.0, 8.0),
+        (1, 0, "L2", 3, 0.0, 2.0, 2.0),
+        (1, 0, "M2", 4, 3.0, 2.0, 5.0),
+        (1, 0, "R2", 5, 6.0, 2.0, 8.0),
+        (1, 0, "L3", 6, 0.0, 3.0, 2.0),
+    ]
+    schema = (
+        "doc_id long, page_number int, text_block_id string, seq int,"
+        " x0 double, y0 double, x1 double"
+    )
+    out = {r.text_block_id: r for r in xycut_rank(
+        spark.createDataFrame(rows, schema)).collect()}
+    ordered = [k for k, v in sorted(out.items(), key=lambda kv: kv[1].reading_rank)]
+    assert ordered == ["L1", "L2", "L3", "M1", "M2", "R1", "R2"], ordered
+    assert {out[k].col_id for k in ("L1", "L2", "L3")} == {1}
+    assert {out[k].col_id for k in ("M1", "M2")} == {2}
+    assert {out[k].col_id for k in ("R1", "R2")} == {3}
+
+    # (b) spanning header fuses all three islands: pinned degradation
+    rows2 = rows + [(1, 0, "H", 7, 0.0, 0.0, 8.0)]
+    out2 = {r.text_block_id: r for r in xycut_rank(
+        spark.createDataFrame(rows2, schema)).collect()}
+    assert out2["H"].reading_rank == 1
+    assert {v.col_id for v in out2.values()} == {1}
+    ordered2 = [
+        k for k, v in sorted(out2.items(), key=lambda kv: kv[1].reading_rank)
+    ]
+    assert ordered2 == ["H", "L1", "M1", "R1", "L2", "M2", "R2", "L3"], ordered2
