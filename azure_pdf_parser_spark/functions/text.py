@@ -442,7 +442,7 @@ def language_sql(text_sql: str) -> str:
 # variants are real per-language text — built ONLY from the language's
 # own LANGID_WIDE_SENTENCES sentence plus a bounded contaminant — so
 # the accuracy rows measure the DETECTOR at document granularity.
-LANGID_DOC_VARIANTS = ("sentence", "repeat3", "head4", "mixed")
+LANGID_DOC_VARIANTS = ("sentence", "repeat", "head4", "mixed")
 
 
 def langid_doc_variants() -> list[tuple[str, str, str]]:
@@ -452,12 +452,17 @@ def langid_doc_variants() -> list[tuple[str, str, str]]:
 
       sentence — the plain profile sentence (baseline; the granularity
                  the langid_wide gate already pins at 59/59);
-      repeat3  — the sentence ×3 space-joined: a document long enough
-                 that the LANGID_SAMPLE_CHARS=256 truncation engages
-                 (distinct-token scoring must be repetition-invariant);
+      repeat   — the sentence space-joined with itself until the text
+                 EXCEEDS LANGID_SAMPLE_CHARS=256 (asserted below), so
+                 the sample truncation genuinely engages for every
+                 language and cuts mid-sentence (distinct-token scoring
+                 must be repetition-invariant and survive a clipped
+                 final token);
       head4    — the first 4 space-separated words only (short-fragment
-                 stress; spaceless scripts — ja/zh/th/km/my/lo — have
-                 one "word", i.e. the full sentence, by construction);
+                 stress; the spaceless-script sentences ja/zh/th have
+                 one "word" — the full sentence — and my has two, so
+                 only km/lo among the non-segmenting scripts actually
+                 lose a word here);
       mixed    — the full own-language sentence + the first 5 words of
                  the ENGLISH sentence (French for en itself): a
                  lightly code-switched document whose majority language
@@ -470,8 +475,12 @@ def langid_doc_variants() -> list[tuple[str, str, str]]:
     fr_head = " ".join(LANGID_WIDE_SENTENCES["fr"].split(" ")[:5])
     for lang, s in LANGID_WIDE_SENTENCES.items():
         contaminant = fr_head if lang == "en" else en_head
+        repeated = s
+        while len(repeated) <= LANGID_SAMPLE_CHARS:
+            repeated += " " + s
+        assert len(repeated) > LANGID_SAMPLE_CHARS
         rows.append((lang, "sentence", s))
-        rows.append((lang, "repeat3", " ".join([s] * 3)))
+        rows.append((lang, "repeat", repeated))
         rows.append((lang, "head4", " ".join(s.split(" ")[:4])))
         rows.append((lang, "mixed", s + " " + contaminant))
     assert all("'" not in t for _, _, t in rows)

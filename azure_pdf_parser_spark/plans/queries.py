@@ -1332,8 +1332,9 @@ def q_langid_doc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit (the synthetic corpus routes English-ish text under `lang`
     labels); THIS gate's ground truth is the construction language of
     real per-language text: 59 languages × 4 document shapes from
-    :func:`langid_doc_variants` — the plain sentence, a ×3-repeated
-    document (sample-truncation stress), a 4-word head fragment
+    :func:`langid_doc_variants` — the plain sentence, a repeated
+    document long enough to exceed the 256-char sample (truncation
+    stress), a 4-word head fragment
     (short-doc stress), and a lightly English-contaminated
     code-switched document. One row per (lang_true, variant) with
     n_docs, n_correct, accuracy_permille and the most-frequent wrong

@@ -79,8 +79,9 @@ def test_golden_fixture_texts_agree_with_reference_langdetect(spark):
     whole-document single-language model. All three detector mirrors
     must reproduce those codes on each fixture's raw ``content``
     string AND on the reference's own to_string() analog (the
-    paragraph contents space-joined — experimental_base.py:132-134
-    joins text blocks with a single space)."""
+    paragraph contents stripped then space-joined —
+    experimental_base.py:131-134 is
+    ``" ".join(block.to_string().strip() for ...)``)."""
     import json
     import os
 
@@ -95,7 +96,7 @@ def test_golden_fixture_texts_agree_with_reference_langdetect(spark):
             for result in json.load(f):
                 texts.append((result["content"], code))
                 paras = result.get("paragraphs") or []
-                joined = " ".join(p["content"] for p in paras)
+                joined = " ".join(p["content"].strip() for p in paras)
                 if joined:
                     texts.append((joined, code))
     assert len(texts) >= 4 and all(t for t, _ in texts)
@@ -135,7 +136,7 @@ def test_langid_doc_variants_measure_the_detector(spark):
     corpus generator. Pins: (a) the Spark gate's per-(lang, variant)
     accuracy equals the pure-Python mirror's document-by-document
     verdicts exactly — three-mirror parity at document granularity;
-    (b) full-sentence, x3-repeated (sample-truncation) and
+    (b) full-sentence, repeated-past-256-chars (sample-truncation) and
     English-contaminated code-switched documents all detect 59/59;
     (c) 4-word fragments degrade to exactly the 9 linguistically-close
     confusions (no->da, pt->es, bg/mk->ru, ur->fa, ...) — the honest
@@ -167,7 +168,7 @@ def test_langid_doc_variants_measure_the_detector(spark):
     for (lang, variant), ok in exp_correct.items():
         by_variant[variant] = by_variant.get(variant, 0) + ok
     assert by_variant == {
-        "sentence": 59, "repeat3": 59, "mixed": 59, "head4": 50
+        "sentence": 59, "repeat": 59, "mixed": 59, "head4": 50
     }, by_variant
     head4_misses = {
         (lang, got[(lang, "head4")].top_confusion)
