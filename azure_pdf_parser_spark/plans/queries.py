@@ -2782,7 +2782,11 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     24-25; queries.py's diff touches the xycut gate (fixture work +
 #     import cleanup) — reading_order_xycut in-cap, slot 23 — plus
 #     any gate added in r5 (inserted in-cap below with a displacement
-#     note, per the r4 precedent).
+#     note, per the r4 precedent). Late-r5 review fixes changed
+#     text.py's langid_doc_variants (repeat variant now genuinely
+#     exceeds the 256-char sample) — its gate langid_doc_agreement is
+#     in-cap at slot 27; the detector itself (detect paths mirrored in
+#     Spark/DuckDB/Python) was not touched.
 #   INVARIANT 2 — never-driver-green gates lead the cap until the
 #     union of all rounds' driver rows covers every gate. Entering r5
 #     the union(r1..r4) is 115/115 (CORRECTNESS_r04.json closed the
@@ -2799,8 +2803,9 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry — capped or not — still runs against its oracle on every
 # pytest pass (tests/test_queries_vs_oracle.py parametrizes all gates),
 # and scripts/full_correctness.py regenerates the uncapped record
-# outside the driver cap (CORRECTNESS_FULL_r04.json: 115/115
-# rows+schema+hash green; r5 regenerates CORRECTNESS_FULL_r05.json).
+# outside the driver cap (CORRECTNESS_FULL_r04.json: 115/115;
+# CORRECTNESS_FULL_r05.json: 117/117 rows+schema+hash green, re-run
+# unchanged after the late-r5 langid fixture fix).
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
