@@ -455,9 +455,12 @@ def langid_doc_variants() -> list[tuple[str, str, str]]:
       repeat   — the sentence space-joined with itself until the text
                  EXCEEDS LANGID_SAMPLE_CHARS=256 (asserted below), so
                  the sample truncation genuinely engages for every
-                 language and cuts mid-sentence (distinct-token scoring
-                 must be repetition-invariant and survive a clipped
-                 final token);
+                 language (distinct-token scoring must be
+                 repetition-invariant); for 40/59 languages the cut
+                 also lands mid-token (measured — the other 19
+                 sentences happen to hit a word boundary at 256), so
+                 clipped-final-token robustness is exercised for most
+                 but not all languages;
       head4    — the first 4 space-separated words only (short-fragment
                  stress; the spaceless-script sentences ja/zh/th have
                  one "word" — the full sentence — and my has two, so
