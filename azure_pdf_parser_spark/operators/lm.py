@@ -315,3 +315,161 @@ JOIN unic ON bg.w1 = unic.w1
 CROSS JOIN v
 GROUP BY bg.doc_id
 """
+
+
+# --- BM25 query-focused retrieval ---------------------------------------------
+
+# Okapi BM25 (Robertson et al., TREC-3) against a FIXED query-term
+# set: the query-focused corpus-filtering primitive (rank a 100 TB
+# crawl against a topic probe, keep the head). k1/b are the standard
+# defaults; (k1+1) is pinned as its own literal so the Spark and
+# DuckDB expressions share the exact double rather than each folding
+# 1.2 + 1.0.
+BM25_K1 = 1.2
+BM25_K1_PLUS_1 = 2.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+BM25_QUERY_TERMS = ("join", "window", "vector", "dup")
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """(doc_id, dl, n_matched, bm25): the corpus' top-``k`` documents
+    for the fixed query, Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale shape — ONE corpus shuffle, no token join: because the query
+    is a fixed small term set, per-term tf becomes |terms| conditional
+    sums inside the per-doc length aggregation (one groupBy on the
+    uniform doc_id key), so the corpus-sized token table is never
+    joined. df/avgdl/N are a single 1-row aggregate over that per-doc
+    table, broadcast back. Top-k is ``orderBy().limit()`` —
+    TakeOrderedAndProject (per-partition top-k merge), never a global
+    rank window. The cut orders by the ROUNDED score with doc_id
+    tie-break so the selected set is deterministic across engines.
+    Docs with zero letter-tokens carry no row in ``toks`` and are
+    absent throughout (the avgdl denominator is docs-with-tokens,
+    mirrored in the oracle).
+    """
+    from azure_pdf_parser_spark.caching import tracked_persist
+
+    per_aggs = [F.count("*").cast("bigint").alias("dl")]
+    for i, t in enumerate(terms):
+        per_aggs.append(
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_tf{i}")
+        )
+    # persisted: per_doc feeds BOTH the 1-row stats aggregate and the
+    # scoring projection — without it the corpus tokenize+groupBy runs
+    # twice (same contract as lm_vocab's persisted counts; caller
+    # releases via release_all). One narrow row per doc.
+    per_doc = tracked_persist(
+        _doc_tokens(documents).groupBy("doc_id").agg(*per_aggs)
+    )
+
+    stat_aggs = [
+        F.avg("dl").alias("_avgdl"),
+        F.count("*").cast("bigint").alias("_n"),
+    ]
+    for i in range(len(terms)):
+        stat_aggs.append(
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+        )
+    stats = per_doc.agg(*stat_aggs)
+
+    score = F.lit(0.0)
+    matched = F.lit(0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfc = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            1.0 + (F.col("_n").cast("double") - dfc + 0.5) / (dfc + 0.5)
+        )
+        denom = tf + BM25_K1 * (
+            1.0 - BM25_B
+            + BM25_B * F.col("dl").cast("double") / F.col("_avgdl")
+        )
+        score = score + F.when(
+            F.col(f"_tf{i}") > 0, idf * tf * BM25_K1_PLUS_1 / denom
+        ).otherwise(0.0)
+        matched = matched + (F.col(f"_tf{i}") > 0).cast("int")
+
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            matched.alias("n_matched"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .where(F.col("n_matched") > 0)
+    )
+    return scored.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def _bm25_sql(terms: tuple[str, ...] = BM25_QUERY_TERMS) -> str:
+    tf_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    # expression tree mirrors the Spark build exactly: left-assoc sum of
+    # per-term CASEs, each ((idf * tf) * 2.2) / denom with the same
+    # literal constants
+    score = "\n             + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {BM25_K1_PLUS_1}"
+        f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * CAST(p.dl AS DOUBLE) / s.avgdl))"
+        f" ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+    SELECT d.doc_id, t.token
+    FROM documents d
+    CROSS JOIN LATERAL (
+        SELECT UNNEST(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS token
+    ) t
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS dl,
+           {tf_cols}
+    FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT avg(dl) AS avgdl,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {df_cols}
+    FROM per_doc
+)
+SELECT doc_id, dl, n_matched, bm25 FROM (
+    SELECT p.doc_id, p.dl,
+           CAST({matched} AS INT) AS n_matched,
+           round(0.0 + {score}, 6) AS bm25
+    FROM per_doc p CROSS JOIN stats s
+)
+WHERE n_matched > 0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()

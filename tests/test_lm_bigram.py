@@ -33,3 +33,43 @@ def test_short_docs_absent_and_counts_exact(spark):
     )
     rows = {r.doc_id: r.n_bigrams for r in lm_bigram_surprisal(docs).collect()}
     assert rows == {4: 3}, rows
+
+
+def test_bm25_rare_term_outranks_common_and_length_normalizes(spark):
+    """BM25 semantics on a hand-built corpus (oracle parity is covered
+    by tests/test_queries_vs_oracle.py): (a) a doc matching the RARE
+    query term outranks one matching only a ubiquitous term (idf);
+    (b) between two docs with identical tf of the same term, the
+    SHORTER doc scores higher (the b·dl/avgdl length normalization);
+    (c) every returned doc matched ≥1 term and the result is capped
+    at k with a deterministic (score, doc_id) cut."""
+    from azure_pdf_parser_spark.operators.lm import bm25_topk
+
+    filler = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        # 'join' appears in nearly every doc (low idf); 'dup' in one
+        [(i, f"join {filler}") for i in range(10)]
+        + [(50, f"dup {filler}")]
+        + [(60, f"join join {filler}")]                  # tf=2, short
+        + [(61, f"join join {filler} {filler} {filler}")]  # tf=2, long
+        ,
+        "doc_id long, text string",
+    )
+    docs = docs.select(F.col("doc_id").cast("string"), "text")
+    # uncapped: every doc matches ≥1 term, so all 13 come back
+    rows = bm25_topk(docs, terms=("join", "dup"), k=100).collect()
+    assert len(rows) == 13
+    assert all(r.n_matched >= 1 for r in rows)
+    score = {r.doc_id: r.bm25 for r in rows}
+    # (a) the rare-term doc wins the ranking outright
+    assert rows[0].doc_id == "50", rows
+    # (b) same tf, shorter doc scores strictly higher (and the long
+    # tf=2 doc even falls below the short tf=1 docs — dl penalty
+    # exceeding the saturating second occurrence is correct Okapi
+    # behavior at k1=1.2)
+    assert score["60"] > score["61"], score
+    assert score["0"] > score["61"], score
+    # (c) the cap returns exactly k rows from the same ordering
+    capped = bm25_topk(docs, terms=("join", "dup"), k=5).collect()
+    assert len(capped) == 5
+    assert [r.doc_id for r in capped] == [r.doc_id for r in rows[:5]]

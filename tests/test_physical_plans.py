@@ -600,3 +600,31 @@ def test_langid_agreement_bounded_aggregation(spark):
     nodes = _nodes(plan)
     assert nodes.count("Exchange") <= 6, plan
     assert "Window" not in plan, plan
+
+
+def test_bm25_is_single_corpus_pass_take_ordered(spark):
+    """BM25 topk plan pins: top-k is TakeOrderedAndProject (never a
+    global rank window), the fixed-term design never JOINS the
+    corpus-sized token table (conditional sums inside the per-doc
+    aggregation; the only join is the broadcast 1-row stats
+    cross-join), and the persisted per-doc table feeds both consumers
+    (no second corpus tokenize)."""
+    from azure_pdf_parser_spark.caching import release_all
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    try:
+        df = QUERIES["bm25_topk"](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        plan = _plan(df)
+        nodes = _nodes(plan)
+        assert "TakeOrderedAndProject" in nodes, nodes
+        assert "Window" not in nodes, nodes
+        assert "SortMergeJoin" not in nodes, nodes
+        # one broadcast (the 1-row stats), no other join strategy
+        assert nodes.count("BroadcastNestedLoopJoin") == 1, nodes
+        assert "BroadcastHashJoin" not in nodes, nodes
+        # the per-doc aggregate is reused from cache, not recomputed:
+        # after materialization both consumers read InMemoryTableScan
+        assert "InMemoryTableScan" in nodes, nodes
+    finally:
+        release_all()
