@@ -1,0 +1,238 @@
+"""Interleaved text+media structure operators over the spans corpus.
+
+The engine's authoritative input is the interleaved span table
+``(doc_id, spans array<struct<kind,text,media_ref,offset>>)`` — text
+spans carrying the reference's paragraph-role vocabulary (reference:
+src/azure_pdf_parser/convert.py:75 default-"Text" rule, role strings
+from the Azure paragraph model) interleaved with media spans
+(kind='figure', text NULL, media_ref set). Two operators exploit that
+interleaving directly — both the kind of pass a multimodal
+training-data pipeline runs over the whole crawl:
+
+* :func:`media_caption_pairs` — image–text pair mining: for every
+  media span, the nearest non-boilerplate text span BEFORE it and
+  AFTER it in reading order (caption candidates for CLIP-style
+  image/text training pairs). Boilerplate kinds (pageHeader/
+  pageFooter/pageNumber — the reference's strip set) never become
+  captions.
+* :func:`interleave_stats` — per-document structure census: span/
+  media/text counts, text↔media transition count, longest text run,
+  media density (integer permille). The shape report that decides
+  how a corpus is routed (text-only docs → LM pipeline, media-dense
+  docs → multimodal pipeline).
+
+Scale posture: both are array-local projections over the ``spans``
+column — zero shuffle, no join, no window over the corpus; at 100 TB
+they scale with input splits exactly like the flagship extraction.
+``media_caption_pairs`` does a per-media-span slice of the document's
+own span array (O(n) per media span within one doc, docs are bounded);
+everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from azure_pdf_parser_spark.sources.spanize import BOILERPLATE_KINDS
+
+MEDIA_KIND = "figure"
+
+
+def _is_caption_candidate(s: Column) -> Column:
+    """Text-bearing, non-boilerplate span — eligible as a caption."""
+    return s.text.isNotNull() & ~F.coalesce(s.kind, F.lit("Text")).isin(
+        *BOILERPLATE_KINDS
+    )
+
+
+def media_caption_pairs(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans) → one row per media span with its nearest
+    caption-candidate text on each side.
+
+    Output: ``(doc_id, ord, media_ref, caption_before, caption_after)``
+    where ``ord`` is the span's position and either caption is NULL
+    when no eligible text span exists on that side. Array-local: the
+    before/after search slices the document's own span array, so the
+    plan is scan → project → explode with no Exchange.
+    """
+    spans = F.col("spans")
+
+    def one(i: Column) -> Column:
+        s = F.element_at(spans, i + 1)
+        before = F.try_element_at(
+            F.filter(F.slice(spans, 1, i), _is_caption_candidate), F.lit(-1)
+        )
+        after = F.try_element_at(
+            F.filter(
+                F.slice(spans, i + 2, F.size(spans) - i - 1),
+                _is_caption_candidate,
+            ),
+            F.lit(1),
+        )
+        return F.when(
+            s.kind == MEDIA_KIND,
+            F.struct(
+                i.cast("int").alias("ord"),
+                s.media_ref.alias("media_ref"),
+                before.text.alias("caption_before"),
+                after.text.alias("caption_after"),
+            ),
+        )
+
+    caps = F.filter(
+        F.transform(F.sequence(F.lit(0), F.size(spans) - 1), one),
+        lambda c: c.isNotNull(),
+    )
+    return (
+        spans_df.where(F.size("spans") > 0)
+        .select("doc_id", F.explode(caps).alias("c"))
+        .select(
+            "doc_id",
+            "c.ord",
+            "c.media_ref",
+            "c.caption_before",
+            "c.caption_after",
+        )
+    )
+
+
+def interleave_stats(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans) → per-doc interleave structure census.
+
+    Output (all BIGINT): ``n_spans``, ``n_media``, ``n_text``,
+    ``n_transitions`` (count of adjacent text↔media class changes),
+    ``max_text_run`` (longest run of consecutive non-media spans),
+    ``media_permille`` (floor(1000·n_media/n_spans) — integer density,
+    hash-stable across engines).
+
+    Docs with an empty span array (NULL upstream text) are excluded,
+    matching the oracle where they derive zero spanize rows. One
+    aggregate pass per doc for transitions and runs; zero shuffle.
+    """
+    spans = F.col("spans")
+    is_media = lambda s: (s.kind == MEDIA_KIND).cast("int")  # noqa: E731
+
+    n_spans = F.size(spans).cast("bigint")
+    n_media = F.size(F.filter(spans, lambda s: s.kind == MEDIA_KIND)).cast(
+        "bigint"
+    )
+    n_text = F.size(F.filter(spans, lambda s: s.text.isNotNull())).cast(
+        "bigint"
+    )
+    # transitions: fold carrying (prev class ∈ {-1 init, 0 text, 1 media}).
+    n_transitions = F.aggregate(
+        spans,
+        F.struct(
+            F.lit(-1).cast("int").alias("prev"), F.lit(0).cast("bigint").alias("cnt")
+        ),
+        lambda st, s: F.struct(
+            is_media(s).alias("prev"),
+            (
+                st.cnt
+                + F.when(
+                    (st.prev != -1) & (st.prev != is_media(s)), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("cnt"),
+        ),
+        lambda st: st.cnt,
+    )
+    # longest non-media run: fold carrying (current run, best run).
+    max_text_run = F.aggregate(
+        spans,
+        F.struct(
+            F.lit(0).cast("bigint").alias("cur"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda st, s: F.struct(
+            F.when(s.kind == MEDIA_KIND, F.lit(0).cast("bigint"))
+            .otherwise(st.cur + 1)
+            .alias("cur"),
+            F.greatest(
+                st.best,
+                F.when(s.kind == MEDIA_KIND, F.lit(0).cast("bigint")).otherwise(
+                    st.cur + 1
+                ),
+            ).alias("best"),
+        ),
+        lambda st: st.best,
+    )
+    return spans_df.where(F.size("spans") > 0).select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        n_media.alias("n_media"),
+        n_text.alias("n_text"),
+        n_transitions.alias("n_transitions"),
+        max_text_run.alias("max_text_run"),
+        F.floor(F.lit(1000.0) * n_media / n_spans)
+        .cast("bigint")
+        .alias("media_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (composed over the shared spanize CTE by the registry).
+# ---------------------------------------------------------------------------
+
+MEDIA_CAPTION_PAIRS_SQL_TAIL = """
+cand AS (
+    SELECT doc_id, ord, kind, media_ref,
+           CASE WHEN text IS NOT NULL
+                 AND kind NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
+                THEN text END AS cap_text
+    FROM spanize
+),
+w AS (
+    SELECT doc_id, ord, kind, media_ref,
+           last_value(cap_text IGNORE NULLS) OVER (
+               PARTITION BY doc_id ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS caption_before,
+           first_value(cap_text IGNORE NULLS) OVER (
+               PARTITION BY doc_id ORDER BY ord
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS caption_after
+    FROM cand
+)
+SELECT doc_id, ord, media_ref, caption_before, caption_after
+FROM w WHERE kind = 'figure'
+"""
+
+INTERLEAVE_STATS_SQL_TAIL = """
+cls AS (
+    SELECT doc_id, ord,
+           CASE WHEN kind = 'figure' THEN 1 ELSE 0 END AS is_media,
+           CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END AS is_text
+    FROM spanize
+),
+lagged AS (
+    SELECT doc_id, ord, is_media, is_text,
+           lag(is_media) OVER (PARTITION BY doc_id ORDER BY ord) AS prev_media,
+           SUM(is_media) OVER (
+               PARTITION BY doc_id ORDER BY ord
+           ) AS grp
+    FROM cls
+),
+runs AS (
+    SELECT doc_id, grp, COUNT(*) AS run_len
+    FROM lagged WHERE is_media = 0 GROUP BY doc_id, grp
+),
+base AS (
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           SUM(is_media) AS n_media,
+           SUM(is_text) AS n_text,
+           SUM(CASE WHEN prev_media IS NOT NULL AND prev_media <> is_media
+                    THEN 1 ELSE 0 END) AS n_transitions
+    FROM lagged GROUP BY doc_id
+),
+mx AS (SELECT doc_id, MAX(run_len) AS max_text_run FROM runs GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_spans AS BIGINT)       AS n_spans,
+       CAST(b.n_media AS BIGINT)       AS n_media,
+       CAST(b.n_text AS BIGINT)        AS n_text,
+       CAST(b.n_transitions AS BIGINT) AS n_transitions,
+       CAST(COALESCE(m.max_text_run, 0) AS BIGINT) AS max_text_run,
+       CAST(floor(1000.0 * b.n_media / b.n_spans) AS BIGINT) AS media_permille
+FROM base b LEFT JOIN mx m ON b.doc_id = m.doc_id
+"""

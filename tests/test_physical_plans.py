@@ -628,3 +628,23 @@ def test_bm25_is_single_corpus_pass_take_ordered(spark):
         assert "InMemoryTableScan" in nodes, nodes
     finally:
         release_all()
+
+
+def test_interleave_operators_are_map_only(spark):
+    """media_caption_pairs and interleave_stats are array-local passes
+    over the spans column — any Exchange (a per-doc window or a
+    media-to-text join would plan one) multiplies to corpus-sized
+    shuffle at 100 TB. Both must stay scan → project(/explode)."""
+    from azure_pdf_parser_spark.operators.interleave import (
+        interleave_stats,
+        media_caption_pairs,
+    )
+    from azure_pdf_parser_spark.sources.spanize import derive_spans
+
+    spans = derive_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    for df in (media_caption_pairs(spans), interleave_stats(spans)):
+        plan = _plan(df)
+        nodes = _nodes(plan)
+        assert "Exchange" not in plan, plan
+        assert "Window" not in nodes, nodes
+        assert not any("Join" in n for n in nodes), nodes
