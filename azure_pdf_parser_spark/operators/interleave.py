@@ -20,6 +20,15 @@ training-data pipeline runs over the whole crawl:
   media density (integer permille). The shape report that decides
   how a corpus is routed (text-only docs → LM pipeline, media-dense
   docs → multimodal pipeline).
+* :func:`interleave_segments` — media-delimited text segments: each
+  doc becomes an alternating (segment_text, next_media_ref) sequence,
+  the standard interleaved representation VLM training corpora ship
+  (text chunks alternating with image refs).
+* :func:`multimodal_pack` — greedy token-budget sequence packing over
+  the interleaved span stream, where a media span costs a fixed
+  token count (image-token patch budget) and a text span costs its
+  whitespace token count. The interleaved twin of
+  operators/packing.py's text-only packer.
 
 Scale posture: both are array-local projections over the ``spans``
 column — zero shuffle, no join, no window over the corpus; at 100 TB
@@ -170,6 +179,182 @@ def interleave_stats(spans_df: DataFrame) -> DataFrame:
     )
 
 
+def interleave_segments(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans) → media-delimited text segments.
+
+    Segment ``k`` is the ' '-join (in span order) of every
+    caption-candidate text span with exactly ``k`` media spans before
+    it; ``next_media_ref`` is the (k+1)-th media span's ref (NULL for
+    the segment after the last media). One row per k in
+    ``0..n_media``, except the trailing row is dropped when it has no
+    text — so a doc with no media and no eligible text emits nothing.
+
+    Output: ``(doc_id, segment_id, segment_text, next_media_ref)`` —
+    the alternating text/image sequence interleaved VLM corpora ship.
+    Array-local: an exclusive prefix-count of media spans is staged
+    once per doc, then each segment is a filtered join over the doc's
+    own spans. Zero shuffle.
+    """
+    spans = F.col("spans")
+    mb = F.col("_mb")  # exclusive media-count prefix, one entry per span
+
+    staged = spans_df.where(F.size("spans") > 0).select(
+        "doc_id",
+        "spans",
+        F.aggregate(
+            spans,
+            F.struct(
+                F.array().cast("array<int>").alias("arr"),
+                F.lit(0).cast("int").alias("acc"),
+            ),
+            lambda st, s: F.struct(
+                F.concat(st.arr, F.array(st.acc)).alias("arr"),
+                (
+                    st.acc
+                    + F.when(s.kind == MEDIA_KIND, F.lit(1)).otherwise(F.lit(0))
+                ).alias("acc"),
+            ),
+            lambda st: st.arr,
+        ).alias("_mb"),
+    )
+
+    n_media = F.size(F.filter(spans, lambda s: s.kind == MEDIA_KIND))
+
+    def seg(k: Column) -> Column:
+        texts = F.transform(
+            F.filter(
+                spans,
+                lambda s, i: _is_caption_candidate(s)
+                & (F.element_at(mb, i + 1) == k),
+            ),
+            lambda s: s.text,
+        )
+        next_media = F.try_element_at(
+            F.filter(
+                spans,
+                lambda s, i: (s.kind == MEDIA_KIND)
+                & (F.element_at(mb, i + 1) == k),
+            ),
+            F.lit(1),
+        )
+        return F.struct(
+            k.cast("int").alias("segment_id"),
+            F.when(F.size(texts) > 0, F.array_join(texts, " ")).alias(
+                "segment_text"
+            ),
+            next_media.media_ref.alias("next_media_ref"),
+        )
+
+    segs = F.filter(
+        F.transform(F.sequence(F.lit(0), n_media), seg),
+        # drop the trailing (k = n_media) row when it carries no text
+        lambda c: c.segment_text.isNotNull() | c.next_media_ref.isNotNull(),
+    )
+    return staged.select("doc_id", F.explode(segs).alias("c")).select(
+        "doc_id", "c.segment_id", "c.segment_text", "c.next_media_ref"
+    )
+
+
+MEDIA_TOKEN_COST = 64
+PACK_TOKEN_BUDGET = 128
+
+
+def multimodal_pack(
+    spans_df: DataFrame,
+    budget: int = PACK_TOKEN_BUDGET,
+    media_cost: int = MEDIA_TOKEN_COST,
+) -> DataFrame:
+    """Greedy token-budget packing of the interleaved span stream.
+
+    Boilerplate spans are dropped; each surviving span costs
+    ``media_cost`` tokens if it is media, else its whitespace token
+    count. Spans are assigned to sequences greedily in reading order:
+    a span opens a new sequence exactly when adding it would push the
+    running total past ``budget`` (an oversized single span occupies
+    its own sequence and may exceed the budget — the standard rule).
+    Sequences never cross documents (cross-doc packing changes
+    attention masking; the text-only packer in operators/packing.py
+    makes the same call).
+
+    Output: ``(doc_id, ord, kind, cost, seq_id)``, one row per packed
+    span, ``ord`` the span's position in the ORIGINAL span array.
+    One fold per doc, zero shuffle; the oracle replays the greedy
+    state machine as a recursive CTE.
+    """
+    spans = F.col("spans")
+
+    # keep (original ord, span) for non-boilerplate spans
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(spans) - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("ord"),
+                F.element_at(spans, i + 1).alias("s"),
+            ),
+        ),
+        lambda e: ~F.coalesce(e.s.kind, F.lit("Text")).isin(
+            *BOILERPLATE_KINDS
+        ),
+    )
+
+    def cost_of(s: Column) -> Column:
+        return (
+            F.when(s.kind == MEDIA_KIND, F.lit(media_cost))
+            .otherwise(F.size(F.split(s.text, " ")))
+            .cast("bigint")
+        )
+
+    elem = (
+        "struct<ord:int,kind:string,cost:bigint,seq_id:bigint>"
+    )
+    packed = F.aggregate(
+        kept,
+        F.struct(
+            F.lit(0).cast("bigint").alias("acc"),
+            F.lit(-1).cast("bigint").alias("seq"),
+            F.array().cast(f"array<{elem}>").alias("out"),
+        ),
+        lambda st, e: F.struct(
+            F.when(
+                (st.acc == 0) | (st.acc + cost_of(e.s) > budget),
+                cost_of(e.s),
+            )
+            .otherwise(st.acc + cost_of(e.s))
+            .alias("acc"),
+            (
+                st.seq
+                + F.when(
+                    (st.acc == 0) | (st.acc + cost_of(e.s) > budget), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("seq"),
+            F.concat(
+                st.out,
+                F.array(
+                    F.struct(
+                        e.ord.alias("ord"),
+                        e.s.kind.alias("kind"),
+                        cost_of(e.s).alias("cost"),
+                        (
+                            st.seq
+                            + F.when(
+                                (st.acc == 0)
+                                | (st.acc + cost_of(e.s) > budget),
+                                F.lit(1),
+                            ).otherwise(F.lit(0))
+                        ).alias("seq_id"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda st: st.out,
+    )
+    return (
+        spans_df.where(F.size("spans") > 0)
+        .select("doc_id", F.explode(packed).alias("c"))
+        .select("doc_id", "c.ord", "c.kind", "c.cost", "c.seq_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (composed over the shared spanize CTE by the registry).
 # ---------------------------------------------------------------------------
@@ -196,6 +381,79 @@ w AS (
 )
 SELECT doc_id, ord, media_ref, caption_before, caption_after
 FROM w WHERE kind = 'figure'
+"""
+
+INTERLEAVE_SEGMENTS_SQL_TAIL = """
+cand AS (
+    SELECT doc_id, ord,
+           CASE WHEN kind = 'figure' THEN 1 ELSE 0 END AS is_media,
+           media_ref,
+           CASE WHEN text IS NOT NULL
+                 AND kind NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
+                THEN text END AS cap_text
+    FROM spanize
+),
+w AS (
+    SELECT doc_id, ord, is_media, media_ref, cap_text,
+           COALESCE(SUM(is_media) OVER (
+               PARTITION BY doc_id ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS mb
+    FROM cand
+),
+nm AS (
+    SELECT doc_id, CAST(SUM(is_media) AS BIGINT) AS n_media
+    FROM w GROUP BY doc_id
+),
+ks AS (
+    SELECT doc_id, CAST(UNNEST(range(n_media + 1)) AS INT) AS segment_id,
+           n_media
+    FROM nm
+),
+text_segs AS (
+    SELECT doc_id, mb AS segment_id,
+           string_agg(cap_text, ' ' ORDER BY ord) AS segment_text
+    FROM w WHERE cap_text IS NOT NULL GROUP BY doc_id, mb
+),
+media_rows AS (
+    SELECT doc_id, mb AS segment_id, media_ref FROM w WHERE is_media = 1
+)
+SELECT k.doc_id, k.segment_id, t.segment_text,
+       m.media_ref AS next_media_ref
+FROM ks k
+LEFT JOIN text_segs t USING (doc_id, segment_id)
+LEFT JOIN media_rows m USING (doc_id, segment_id)
+WHERE t.segment_text IS NOT NULL OR m.media_ref IS NOT NULL
+"""
+
+# Greedy packing state machine replayed as a recursive CTE — compose
+# with ``WITH RECURSIVE``. {budget}/{media_cost} are int literals.
+MULTIMODAL_PACK_SQL_TAIL = """
+cand AS (
+    SELECT doc_id, ord, kind,
+           CAST(CASE WHEN kind = 'figure' THEN {media_cost}
+                     ELSE len(string_split(text, ' ')) END AS BIGINT) AS cost
+    FROM spanize
+    WHERE kind NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
+),
+seqd AS (
+    SELECT doc_id, ord, kind, cost,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+    FROM cand
+),
+step AS (
+    SELECT doc_id, rn, ord, kind, cost, cost AS acc,
+           CAST(0 AS BIGINT) AS seq_id
+    FROM seqd WHERE rn = 1
+    UNION ALL
+    SELECT k.doc_id, k.rn, k.ord, k.kind, k.cost,
+           CASE WHEN s.acc + k.cost > {budget} THEN k.cost
+                ELSE s.acc + k.cost END,
+           CASE WHEN s.acc + k.cost > {budget} THEN s.seq_id + 1
+                ELSE s.seq_id END
+    FROM step s JOIN seqd k ON k.doc_id = s.doc_id AND k.rn = s.rn + 1
+)
+SELECT doc_id, ord, kind, cost, seq_id FROM step
 """
 
 INTERLEAVE_STATS_SQL_TAIL = """

@@ -106,3 +106,88 @@ def test_empty_span_docs_are_excluded(spark):
     df = _spans_df(spark, {"empty": []})
     assert media_caption_pairs(df).count() == 0
     assert interleave_stats(df).count() == 0
+
+
+def test_interleave_segments_alternating_sequence(spark):
+    from azure_pdf_parser_spark.operators.interleave import interleave_segments
+
+    df = _spans_df(spark, {
+        # text text | M1 | text | M2 | (trailing text)
+        "d1": [
+            ("Text", "a", None, 0), ("Text", "b", None, 1),
+            ("figure", None, "media://1", 2),
+            ("pageHeader", "skip", None, 3),   # boilerplate: no segment text
+            ("Text", "c", None, 4),
+            ("figure", None, "media://2", 5),
+            ("Text", "d", None, 6),
+        ],
+        # media-first doc, no trailing text: k=1 row dropped
+        "d2": [("figure", None, "media://3", 0)],
+        # empty middle segment between adjacent media is kept (carries M)
+        "d3": [
+            ("figure", None, "media://4", 0),
+            ("figure", None, "media://5", 1),
+            ("Text", "z", None, 2),
+        ],
+        # no media, no eligible text -> nothing
+        "d4": [("pageFooter", "f", None, 0)],
+    })
+    got = {
+        (r["doc_id"], r["segment_id"]): (r["segment_text"], r["next_media_ref"])
+        for r in interleave_segments(df).collect()
+    }
+    assert got == {
+        ("d1", 0): ("a b", "media://1"),
+        ("d1", 1): ("c", "media://2"),
+        ("d1", 2): ("d", None),
+        ("d2", 0): (None, "media://3"),
+        ("d3", 0): (None, "media://4"),
+        ("d3", 1): (None, "media://5"),
+        ("d3", 2): ("z", None),
+    }
+
+
+def test_multimodal_pack_greedy_budget(spark):
+    from azure_pdf_parser_spark.operators.interleave import multimodal_pack
+
+    df = _spans_df(spark, {
+        # costs: 3-word text=3, media=10 with budget 12:
+        # [3] acc=3, [10] 3+10>12 -> seq1 acc=10, [3] 10+3>12 -> seq2,
+        # [3] acc=6, boilerplate dropped, [10] 6+10>12 -> seq3
+        "d": [
+            ("Text", "w w w", None, 0),
+            ("figure", None, "media://1", 1),
+            ("Text", "w w w", None, 2),
+            ("Text", "w w w", None, 3),
+            ("pageNumber", "9", None, 4),
+            ("figure", None, "media://2", 5),
+        ],
+    })
+    rows = sorted(
+        (r["ord"], r["kind"], r["cost"], r["seq_id"])
+        for r in multimodal_pack(df, budget=12, media_cost=10).collect()
+    )
+    assert rows == [
+        (0, "Text", 3, 0),
+        (1, "figure", 10, 1),
+        (2, "Text", 3, 2),
+        (3, "Text", 3, 2),
+        (5, "figure", 10, 3),
+    ]
+
+
+def test_multimodal_pack_oversized_span_own_sequence(spark):
+    from azure_pdf_parser_spark.operators.interleave import multimodal_pack
+
+    df = _spans_df(spark, {
+        "d": [
+            ("Text", "a b c d e", None, 0),   # cost 5 > budget 4
+            ("Text", "x", None, 1),
+        ],
+    })
+    rows = sorted(
+        (r["ord"], r["cost"], r["seq_id"])
+        for r in multimodal_pack(df, budget=4, media_cost=4).collect()
+    )
+    # oversized first span occupies seq 0 alone; next span opens seq 1
+    assert rows == [(0, 5, 0), (1, 1, 1)]

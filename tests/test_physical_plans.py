@@ -636,13 +636,20 @@ def test_interleave_operators_are_map_only(spark):
     media-to-text join would plan one) multiplies to corpus-sized
     shuffle at 100 TB. Both must stay scan → project(/explode)."""
     from azure_pdf_parser_spark.operators.interleave import (
+        interleave_segments,
         interleave_stats,
         media_caption_pairs,
+        multimodal_pack,
     )
     from azure_pdf_parser_spark.sources.spanize import derive_spans
 
     spans = derive_spans(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
-    for df in (media_caption_pairs(spans), interleave_stats(spans)):
+    for df in (
+        media_caption_pairs(spans),
+        interleave_stats(spans),
+        interleave_segments(spans),
+        multimodal_pack(spans),
+    ):
         plan = _plan(df)
         nodes = _nodes(plan)
         assert "Exchange" not in plan, plan
