@@ -55,6 +55,29 @@ def _is_caption_candidate(s: Column) -> Column:
     )
 
 
+def _staged_spans(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans) with ``spans`` MATERIALIZED once per row, empty
+    arrays dropped.
+
+    The interleave operators reference ``spans`` many times — per
+    metric, and per element inside slice/filter lambdas. When the
+    input's spans column is itself an expensive expression (the
+    spanize derivation), the optimizer inlines that tree into every
+    reference, and lambda projections are CodegenFallback (no CSE) —
+    measured 8 s instead of <1 s at sf0.1 on a 36k-span corpus. A
+    Generate is a hard materialization barrier: ``explode_outer`` of a
+    1-element array evaluates the derivation exactly once per row and
+    emits a real attribute that downstream references for free. The
+    empty-doc filter runs on the GENERATED attribute, so predicate
+    pushdown cannot substitute the derivation tree into it
+    (operators/extract_spans.py:extract_exploded documents the same
+    trap). Still zero shuffle.
+    """
+    return spans_df.select(
+        "doc_id", F.explode_outer(F.array("spans")).alias("spans")
+    ).where(F.size("spans") > 0)
+
+
 def media_caption_pairs(spans_df: DataFrame) -> DataFrame:
     """(doc_id, spans) → one row per media span with its nearest
     caption-candidate text on each side.
@@ -93,9 +116,13 @@ def media_caption_pairs(spans_df: DataFrame) -> DataFrame:
         F.transform(F.sequence(F.lit(0), F.size(spans) - 1), one),
         lambda c: c.isNotNull(),
     )
+    # explode_outer + null-filter, not explode: an inferred
+    # size(caps)>0 filter below a plain explode would substitute and
+    # re-evaluate the whole caps tree per row (extract_exploded's trap)
     return (
-        spans_df.where(F.size("spans") > 0)
-        .select("doc_id", F.explode(caps).alias("c"))
+        _staged_spans(spans_df)
+        .select("doc_id", F.explode_outer(caps).alias("c"))
+        .where(F.col("c").isNotNull())
         .select(
             "doc_id",
             "c.ord",
@@ -166,7 +193,7 @@ def interleave_stats(spans_df: DataFrame) -> DataFrame:
         ),
         lambda st: st.best,
     )
-    return spans_df.where(F.size("spans") > 0).select(
+    return _staged_spans(spans_df).select(
         "doc_id",
         n_spans.alias("n_spans"),
         n_media.alias("n_media"),
@@ -195,28 +222,38 @@ def interleave_segments(spans_df: DataFrame) -> DataFrame:
     once per doc, then each segment is a filtered join over the doc's
     own spans. Zero shuffle.
     """
-    spans = F.col("spans")
-    mb = F.col("_mb")  # exclusive media-count prefix, one entry per span
-
-    staged = spans_df.where(F.size("spans") > 0).select(
-        "doc_id",
-        "spans",
-        F.aggregate(
-            spans,
-            F.struct(
-                F.array().cast("array<int>").alias("arr"),
-                F.lit(0).cast("int").alias("acc"),
-            ),
-            lambda st, s: F.struct(
-                F.concat(st.arr, F.array(st.acc)).alias("arr"),
-                (
-                    st.acc
-                    + F.when(s.kind == MEDIA_KIND, F.lit(1)).otherwise(F.lit(0))
-                ).alias("acc"),
-            ),
-            lambda st: st.arr,
-        ).alias("_mb"),
+    # exclusive media-count prefix fold (one entry per span), staged
+    # behind a SECOND Generate barrier together with the spans array:
+    # the per-segment lambdas below reference both many times (per
+    # element), and an aliased fold would otherwise re-inline per
+    # reference (interpreted, no CSE) — O(n²) per doc at the tail.
+    mb_fold = F.aggregate(
+        F.col("spans"),
+        F.struct(
+            F.array().cast("array<int>").alias("arr"),
+            F.lit(0).cast("int").alias("acc"),
+        ),
+        lambda st, s: F.struct(
+            F.concat(st.arr, F.array(st.acc)).alias("arr"),
+            (
+                st.acc
+                + F.when(s.kind == MEDIA_KIND, F.lit(1)).otherwise(F.lit(0))
+            ).alias("acc"),
+        ),
+        lambda st: st.arr,
     )
+    staged = _staged_spans(spans_df).select(
+        "doc_id",
+        F.explode_outer(
+            F.array(
+                F.struct(
+                    F.col("spans").alias("sp"), mb_fold.alias("mb")
+                )
+            )
+        ).alias("z"),
+    )
+    spans = F.col("z.sp")
+    mb = F.col("z.mb")
 
     n_media = F.size(F.filter(spans, lambda s: s.kind == MEDIA_KIND))
 
@@ -250,8 +287,12 @@ def interleave_segments(spans_df: DataFrame) -> DataFrame:
         # drop the trailing (k = n_media) row when it carries no text
         lambda c: c.segment_text.isNotNull() | c.next_media_ref.isNotNull(),
     )
-    return staged.select("doc_id", F.explode(segs).alias("c")).select(
-        "doc_id", "c.segment_id", "c.segment_text", "c.next_media_ref"
+    return (
+        staged.select("doc_id", F.explode_outer(segs).alias("c"))
+        .where(F.col("c").isNotNull())
+        .select(
+            "doc_id", "c.segment_id", "c.segment_text", "c.next_media_ref"
+        )
     )
 
 
@@ -349,8 +390,9 @@ def multimodal_pack(
         lambda st: st.out,
     )
     return (
-        spans_df.where(F.size("spans") > 0)
-        .select("doc_id", F.explode(packed).alias("c"))
+        _staged_spans(spans_df)
+        .select("doc_id", F.explode_outer(packed).alias("c"))
+        .where(F.col("c").isNotNull())
         .select("doc_id", "c.ord", "c.kind", "c.cost", "c.seq_id")
     )
 
