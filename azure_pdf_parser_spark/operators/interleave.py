@@ -147,7 +147,14 @@ def interleave_stats(spans_df: DataFrame) -> DataFrame:
     aggregate pass per doc for transitions and runs; zero shuffle.
     """
     spans = F.col("spans")
-    is_media = lambda s: (s.kind == MEDIA_KIND).cast("int")  # noqa: E731
+    # NULL kind defaults to 'Text' (the reference's convert.py:75 rule).
+    # The coalesce matters: a bare s.kind == MEDIA_KIND yields NULL for
+    # NULL kinds, which the transition fold would store as prev and
+    # propagate — transitions silently undercount (caught by the
+    # randomized model test; the oracle's CASE WHEN is NULL-correct).
+    is_media = lambda s: (  # noqa: E731
+        F.coalesce(s.kind, F.lit("Text")) == MEDIA_KIND
+    ).cast("int")
 
     n_spans = F.size(spans).cast("bigint")
     n_media = F.size(F.filter(spans, lambda s: s.kind == MEDIA_KIND)).cast(
