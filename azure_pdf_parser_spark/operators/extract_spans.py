@@ -29,14 +29,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from azure_pdf_parser_spark.functions.text import language_expr
-from azure_pdf_parser_spark.sources.spanize import BOILERPLATE_KINDS
+from azure_pdf_parser_spark.sources.spanize import is_kept_span
 
 
 def kept_spans_col(spans: Column) -> Column:
     """Filter boilerplate, default NULL kind to 'Text', re-enumerate offset."""
-    kept = F.filter(
-        spans, lambda s: ~F.coalesce(s.kind, F.lit("Text")).isin(*BOILERPLATE_KINDS)
-    )
+    kept = F.filter(spans, is_kept_span)
     return F.transform(
         kept,
         lambda s, i: F.struct(

@@ -43,16 +43,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from azure_pdf_parser_spark.sources.spanize import BOILERPLATE_KINDS
+from azure_pdf_parser_spark.sources.spanize import is_kept_span
 
 MEDIA_KIND = "figure"
 
 
 def _is_caption_candidate(s: Column) -> Column:
-    """Text-bearing, non-boilerplate span — eligible as a caption."""
-    return s.text.isNotNull() & ~F.coalesce(s.kind, F.lit("Text")).isin(
-        *BOILERPLATE_KINDS
-    )
+    """Text-bearing, non-boilerplate span — eligible as a caption.
+    Reuses the flagship's shared strip rule (sources/spanize.py
+    is_kept_span) so caption mining can never skew from extraction."""
+    return s.text.isNotNull() & is_kept_span(s)
 
 
 def _staged_spans(spans_df: DataFrame) -> DataFrame:
@@ -143,8 +143,9 @@ def interleave_stats(spans_df: DataFrame) -> DataFrame:
     hash-stable across engines).
 
     Docs with an empty span array (NULL upstream text) are excluded,
-    matching the oracle where they derive zero spanize rows. One
-    aggregate pass per doc for transitions and runs; zero shuffle.
+    matching the oracle where they derive zero spanize rows. Two
+    folds per doc (transitions; runs) plus three filter/size passes,
+    all over the Generate-materialized array; zero shuffle.
     """
     spans = F.col("spans")
     # NULL kind defaults to 'Text' (the reference's convert.py:75 rule).
@@ -331,26 +332,39 @@ def multimodal_pack(
     """
     spans = F.col("spans")
 
-    # keep (original ord, span) for non-boilerplate spans
+    def span_cost(s: Column) -> Column:
+        # NULL text on a non-media span is contract-violating but
+        # schema-legal: coalesce to '' (cost 1, same as empty text) so
+        # a NULL can never reach the fold's accumulator — a NULL acc
+        # makes every later when-condition NULL→false and freezes
+        # seq_id for the rest of the doc. The oracle coalesces
+        # identically.
+        return (
+            F.when(
+                F.coalesce(s.kind, F.lit("Text")) == MEDIA_KIND,
+                F.lit(media_cost),
+            )
+            .otherwise(
+                F.size(F.split(F.coalesce(s.text, F.lit("")), " "))
+            )
+            .cast("bigint")
+        )
+
+    # keep (original ord, kind, PRECOMPUTED cost) for non-boilerplate
+    # spans: the fold below reads e.cost as an O(1) field instead of
+    # re-evaluating a split() five times per step inside an interpreted
+    # (no-CSE) lambda
     kept = F.filter(
         F.transform(
             F.sequence(F.lit(0), F.size(spans) - 1),
             lambda i: F.struct(
                 i.cast("int").alias("ord"),
-                F.element_at(spans, i + 1).alias("s"),
+                F.element_at(spans, i + 1).kind.alias("kind"),
+                span_cost(F.element_at(spans, i + 1)).alias("cost"),
             ),
         ),
-        lambda e: ~F.coalesce(e.s.kind, F.lit("Text")).isin(
-            *BOILERPLATE_KINDS
-        ),
+        is_kept_span,  # reads only .kind — the shared strip rule
     )
-
-    def cost_of(s: Column) -> Column:
-        return (
-            F.when(s.kind == MEDIA_KIND, F.lit(media_cost))
-            .otherwise(F.size(F.split(s.text, " ")))
-            .cast("bigint")
-        )
 
     elem = (
         "struct<ord:int,kind:string,cost:bigint,seq_id:bigint>"
@@ -362,17 +376,18 @@ def multimodal_pack(
             F.lit(-1).cast("bigint").alias("seq"),
             F.array().cast(f"array<{elem}>").alias("out"),
         ),
+        # the is-new predicate repeats in three fields, but over O(1)
+        # field reads of the precomputed cost — cheap even interpreted
         lambda st, e: F.struct(
             F.when(
-                (st.acc == 0) | (st.acc + cost_of(e.s) > budget),
-                cost_of(e.s),
+                (st.acc == 0) | (st.acc + e.cost > budget), e.cost
             )
-            .otherwise(st.acc + cost_of(e.s))
+            .otherwise(st.acc + e.cost)
             .alias("acc"),
             (
                 st.seq
                 + F.when(
-                    (st.acc == 0) | (st.acc + cost_of(e.s) > budget), F.lit(1)
+                    (st.acc == 0) | (st.acc + e.cost > budget), F.lit(1)
                 ).otherwise(F.lit(0))
             ).alias("seq"),
             F.concat(
@@ -380,13 +395,13 @@ def multimodal_pack(
                 F.array(
                     F.struct(
                         e.ord.alias("ord"),
-                        e.s.kind.alias("kind"),
-                        cost_of(e.s).alias("cost"),
+                        e.kind.alias("kind"),
+                        e.cost.alias("cost"),
                         (
                             st.seq
                             + F.when(
                                 (st.acc == 0)
-                                | (st.acc + cost_of(e.s) > budget),
+                                | (st.acc + e.cost > budget),
                                 F.lit(1),
                             ).otherwise(F.lit(0))
                         ).alias("seq_id"),
@@ -446,7 +461,8 @@ CAPTION_SQL_CTES = """
 cand AS (
     SELECT doc_id, ord, kind, media_ref,
            CASE WHEN text IS NOT NULL
-                 AND kind NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
+                 AND COALESCE(kind, 'Text')
+                     NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
                 THEN text END AS cap_text
     FROM spanize
 ),
@@ -492,7 +508,8 @@ cand AS (
            CASE WHEN kind = 'figure' THEN 1 ELSE 0 END AS is_media,
            media_ref,
            CASE WHEN text IS NOT NULL
-                 AND kind NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
+                 AND COALESCE(kind, 'Text')
+                     NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
                 THEN text END AS cap_text
     FROM spanize
 ),
@@ -534,10 +551,13 @@ WHERE t.segment_text IS NOT NULL OR m.media_ref IS NOT NULL
 MULTIMODAL_PACK_SQL_TAIL = """
 cand AS (
     SELECT doc_id, ord, kind,
-           CAST(CASE WHEN kind = 'figure' THEN {media_cost}
-                     ELSE len(string_split(text, ' ')) END AS BIGINT) AS cost
+           CAST(CASE WHEN COALESCE(kind, 'Text') = 'figure'
+                     THEN {media_cost}
+                     ELSE len(string_split(COALESCE(text, ''), ' '))
+                END AS BIGINT) AS cost
     FROM spanize
-    WHERE kind NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
+    WHERE COALESCE(kind, 'Text')
+          NOT IN ('pageHeader', 'pageFooter', 'pageNumber')
 ),
 seqd AS (
     SELECT doc_id, ord, kind, cost,

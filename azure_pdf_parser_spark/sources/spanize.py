@@ -46,6 +46,16 @@ WORDS_PER_SPAN = 8
 BOILERPLATE_KINDS = ("pageHeader", "pageFooter", "pageNumber")
 
 
+def is_kept_span(s: Column) -> Column:
+    """Main-content keep predicate over one span struct: NULL kind
+    defaults to 'Text' (reference convert.py:75), boilerplate kinds are
+    stripped. THE single definition — the flagship filter
+    (operators/extract_spans.py) and the interleave family
+    (operators/interleave.py) must all apply the same rule, or caption
+    mining/packing silently skews relative to the extraction."""
+    return ~F.coalesce(s.kind, F.lit("Text")).isin(*BOILERPLATE_KINDS)
+
+
 def _kind_expr(h: Column) -> Column:
     c1, c2 = F.substring(h, 1, 1), F.substring(h, 2, 1)
     return (

@@ -42,6 +42,10 @@ def _random_corpus(seed: int, n_docs: int = 120):
             kind = rng.choice(KINDS)
             if kind == "figure":
                 spans.append((kind, None, f"media://{d}-{i}", i))
+            elif rng.random() < 0.07:
+                # contract-violating but schema-legal: non-media span
+                # with NULL text (must not poison the packing fold)
+                spans.append((kind, None, None, i))
             else:
                 text = " ".join(
                     rng.choice(WORDS) for _ in range(rng.randint(1, 4))
@@ -139,7 +143,7 @@ def _ref_pack(docs, budget=PACK_TOKEN_BUDGET, media_cost=MEDIA_TOKEN_COST):
         for i, (k, t, m, o) in enumerate(spans):
             if (k or "Text") in BOILERPLATE_KINDS:
                 continue
-            cost = media_cost if _is_media(k) else len(t.split(" "))
+            cost = media_cost if _is_media(k) else len((t or "").split(" "))
             if acc == 0 or acc + cost > budget:
                 seq += 1
                 acc = cost
