@@ -2966,21 +2966,32 @@ REGISTRY_ORDER = [
     "interleave_segments",
     "multimodal_pack",
     "vlm_training_manifest",
-    # -- slots 34-50: r3-green gates in registry order (INVARIANT 3:
+    # -- slots 34-35: the late-r5 review pass extracted the shared
+    #    is_kept_span helper into sources/spanize.py and rewired the
+    #    FLAGSHIP's kept_spans_col through it (expression-identical —
+    #    plans, values and the uncapped sweep verified unchanged — but
+    #    INVARIANT 1 is about changed code, not changed plans), so the
+    #    two flagship-chain gates go in-cap --
+    "extract_spans",
+    "parser_output",
+    # -- slots 36-50: r3-green gates in registry order (INVARIANT 3:
     #    oldest remaining rows; every gate below this group and above
     #    the r4-green tail is also r3-green but 2 rounds old at r5 —
     #    at the limit, due r6). The two new r5 slots displace
     #    hll_distinct and html_link_extract (previously slots 49-50)
     #    past the cap; the late-r5 bm25_topk slot additionally
-    #    displaces link_pagerank; and the five late-r5 interleave
+    #    displaces link_pagerank; the five late-r5 interleave
     #    slots displace domain_quality, decontaminate_bloom,
-    #    classifier_trained, domain_cap and url_canonicalize — all
-    #    eight move to the head of the due-r6 group below. --
+    #    classifier_trained, domain_cap and url_canonicalize; and the
+    #    two flagship-chain slots (extract_spans/parser_output, the
+    #    is_kept_span refactor) displace ann_rrf_fusion (siblings
+    #    ann_lsh/ann_ivf/ann_ivf_pq in-cap) and gopher_filter
+    #    (sibling c4_filter in-cap) — all ten move to the head of the
+    #    due-r6 group below. --
     "ann_cosine_topk",
     "ann_lsh_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
-    "ann_rrf_fusion",
     "ivf_kmeans_refine",
     "semantic_dedup",
     "semantic_order",
@@ -2990,11 +3001,10 @@ REGISTRY_ORDER = [
     "corpus_mix",
     "curriculum_order",
     "c4_filter",
-    "gopher_filter",
     "classifier_quality",
     "url_features",
     # ------------------------------------------------------------------
-    # -- past the cap: 28 r3-green gates (exactly two rounds old at
+    # -- past the cap: 30 r3-green gates (exactly two rounds old at
     #    r5, the INVARIANT 3 limit — first in line for the r6 cap),
     #    each with an in-cap sibling exercising the same module:
     #    hll_distinct + html_link_extract (displaced by the two new r5
@@ -3006,7 +3016,10 @@ REGISTRY_ORDER = [
     #    decontaminate_bloom (likewise; module sibling decontaminate
     #    in-cap, slot 18) + classifier_trained (likewise; module
     #    sibling classifier_quality in-cap) + url_canonicalize
-    #    (likewise; module sibling url_features in-cap)
+    #    (likewise; module sibling url_features in-cap) +
+    #    ann_rrf_fusion and gopher_filter (displaced by the
+    #    flagship-chain slots 34-35; module siblings ann_*/c4_filter
+    #    in-cap)
     #    plus cms/hdr/percentiles/profile share sketches.py+profile.py
     #    with the r5-fresh deferred-20 rows (skew_profile's histogram
     #    windows sibling token_stats/corpus_stats_rollup);
@@ -3021,6 +3034,8 @@ REGISTRY_ORDER = [
     "hll_distinct",
     "html_link_extract",
     "link_pagerank",
+    "ann_rrf_fusion",
+    "gopher_filter",
     "domain_quality",
     "domain_cap",
     "decontaminate_bloom",
@@ -3046,8 +3061,9 @@ REGISTRY_ORDER = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "events_range_join",
-    # -- past the cap: the 45 r4-green gates (freshest rows; only one
-    #    round old at r5, nothing due before r6) --
+    # -- past the cap: the 43 r4-green gates (freshest rows; only one
+    #    round old at r5, nothing due before r6; was 45 before
+    #    extract_spans/parser_output moved to in-cap slots 34-35) --
     "ann_ivf_lifecycle",
     "ann_ivf_recall",
     "binaryfile_pdf_parse",
@@ -3059,8 +3075,6 @@ REGISTRY_ORDER = [
     "pack_sequences",
     "stream_ingest_commit",
     "training_shards",
-    "extract_spans",
-    "parser_output",
     "reading_order",
     "table_cell_tagging",
     "layout_text_blocks",
