@@ -5,9 +5,9 @@ The engine's authoritative input is the interleaved span table
 spans carrying the reference's paragraph-role vocabulary (reference:
 src/azure_pdf_parser/convert.py:75 default-"Text" rule, role strings
 from the Azure paragraph model) interleaved with media spans
-(kind='figure', text NULL, media_ref set). Two operators exploit that
-interleaving directly — both the kind of pass a multimodal
-training-data pipeline runs over the whole crawl:
+(kind='figure', text NULL, media_ref set). This family exploits that
+interleaving directly — the passes a multimodal training-data
+pipeline runs over the whole crawl:
 
 * :func:`media_caption_pairs` — image–text pair mining: for every
   media span, the nearest non-boilerplate text span BEFORE it and
@@ -30,12 +30,17 @@ training-data pipeline runs over the whole crawl:
   whitespace token count. The interleaved twin of
   operators/packing.py's text-only packer.
 
-Scale posture: both are array-local projections over the ``spans``
-column — zero shuffle, no join, no window over the corpus; at 100 TB
-they scale with input splits exactly like the flagship extraction.
-``media_caption_pairs`` does a per-media-span slice of the document's
-own span array (O(n) per media span within one doc, docs are bounded);
-everything stays inside whole-stage codegen.
+(:func:`vlm_training_manifest` joins the mined captions to the media
+feature table — see its docstring for the join's scale shape.)
+
+Scale posture: everything except the manifest join is an array-local
+projection over the ``spans`` column — zero shuffle, no join, no
+window over the corpus; at 100 TB they scale with input splits
+exactly like the flagship extraction. ``media_caption_pairs`` does a
+per-media-span slice of the document's own span array (O(n) per media
+span within one doc, docs are bounded). The spans array is staged
+behind a Generate barrier first (:func:`_staged_spans`) — see
+docs/INTERLEAVED.md rule 0 for why that is load-bearing.
 """
 
 from __future__ import annotations
