@@ -268,6 +268,47 @@ def synth_media(spans_df: DataFrame, fmt: str = "png") -> DataFrame:
 
 # Oracle: what extract_media_features(synth_media(...)) must produce,
 # predicted straight from the hash nibbles (the h after 'media://').
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Exact media-blob dedup by content hash — the binary twin of
+    operators/dedup.py's exact text dedup, and the store-once/
+    reference-many pass a multimodal pipeline runs before any decode
+    or embedding work (logos, icons and boilerplate images repeat
+    across a crawl constantly; deduping payloads first removes that
+    multiple from every downstream GPU stage).
+
+    One row per distinct payload:
+    ``(canonical_media_ref = min ref, n_copies, bytes_total)``.
+    Grouping key is ``md5(content)`` — md5-uniform, so the single
+    shuffle is skew-free and the aggregation is map-side partial
+    (plan-pinned). The oracle cannot hash blobs (DuckDB md5 is
+    VARCHAR-only), but the synth PNG payload is a pure function of two
+    hash nibbles, so it predicts the identical clustering by nibble
+    pair and the compared rows prove the partition."""
+    from pyspark.sql import functions as F
+
+    return (
+        media.groupBy(F.md5("content").alias("content_md5"))
+        .agg(
+            F.min("media_ref").alias("canonical_media_ref"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.sum(F.length("content")).cast("bigint").alias("bytes_total"),
+        )
+        .select("canonical_media_ref", "n_copies", "bytes_total")
+    )
+
+
+# Oracle: the synth PNG blob is a pure function of nibbles 1-2 of the
+# hash, so clusters-by-content == clusters-by-nibble-pair, 24 bytes per
+# blob (16-byte magic+IHDR prefix + u32 width + u32 height).
+MEDIA_EXACT_DEDUP_SQL = """
+SELECT min(media_ref) AS canonical_media_ref,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(*) * 24 AS BIGINT) AS bytes_total
+FROM spanize WHERE kind = 'figure'
+GROUP BY substr(media_ref, 9, 1), substr(media_ref, 10, 1)
+"""
+
+
 MEDIA_FEATURES_SQL = """
 SELECT media_ref,
        'image' AS media_type,

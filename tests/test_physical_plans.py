@@ -675,3 +675,19 @@ def test_vlm_manifest_is_equi_join_never_nested_loop(spark):
     ), nodes
     # caption mining stays array-local even inside the join plan
     assert "Window" not in nodes, nodes
+
+
+def test_media_exact_dedup_does_partial_aggregation(spark):
+    """The blob-dedup groupBy on md5(content) must do map-side partial
+    aggregation — at 100 TB the shuffle then carries one row per
+    distinct payload per task, not one per media blob."""
+    from azure_pdf_parser_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["media_exact_dedup"](spark, SF_DIR))
+    nodes = _nodes(plan)
+    # min(media_ref) is a string buffer, so Spark picks SortAggregate —
+    # the structural property pinned here is the partial+final split
+    # around exactly one hash Exchange, whatever the aggregate flavor
+    aggs = [n for n in nodes if n.endswith("Aggregate")]
+    assert len(aggs) >= 2, nodes  # partial + final
+    assert nodes.count("Exchange") == 1, nodes

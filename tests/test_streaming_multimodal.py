@@ -165,3 +165,20 @@ def test_audio_header_parse_and_quarantine(spark):
     got = {(r["window_index"], r["start_sample"]) for r in rows}
     assert got == {(0, 0), (1, 2048), (2, 4096)}
     assert all((r["channels"], r["sample_rate"]) == (2, 16000) for r in rows)
+
+
+def test_media_exact_dedup_clusters_identical_payloads(spark):
+    from azure_pdf_parser_spark.operators.multimodal import media_exact_dedup
+
+    media = spark.createDataFrame(
+        [("media://b", "image", bytes([1, 2, 3])),
+         ("media://a", "image", bytes([1, 2, 3])),   # same payload
+         ("media://c", "image", bytes([9]))],
+        "media_ref string, media_type string, content binary",
+    )
+    got = {
+        r["canonical_media_ref"]: (r["n_copies"], r["bytes_total"])
+        for r in media_exact_dedup(media).collect()
+    }
+    # canonical = min ref; bytes_total sums every copy
+    assert got == {"media://a": (2, 6), "media://c": (1, 1)}
