@@ -2927,10 +2927,10 @@ def q_pdf_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest pass (tests/test_queries_vs_oracle.py parametrizes all gates),
 # and scripts/full_correctness.py regenerates the uncapped record
 # outside the driver cap (CORRECTNESS_FULL_r04.json: 115/115;
-# CORRECTNESS_FULL_r05.json: 123/123 rows+schema+hash green —
-# regenerated after the late-r5 additions of bm25_topk and the five
-# interleave gates; the prior 117/117 run was itself re-run unchanged
-# after the late-r5 langid fixture fix).
+# CORRECTNESS_FULL_r05.json: 124/124 rows+schema+hash green —
+# regenerated after each late-r5 addition (bm25_topk, the five
+# interleave gates, media_exact_dedup); the prior 117/117 run was
+# itself re-run unchanged after the late-r5 langid fixture fix).
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
