@@ -182,3 +182,41 @@ def test_media_exact_dedup_clusters_identical_payloads(spark):
     }
     # canonical = min ref; bytes_total sums every copy
     assert got == {"media://a": (2, 6), "media://c": (1, 1)}
+
+
+def test_media_exact_dedup_matches_python_reference(spark):
+    """Randomized model test: seeded random payload table with
+    deliberate collisions, clusters checked against a pure-Python
+    hash-group reference."""
+    import hashlib
+    import random
+
+    from azure_pdf_parser_spark.operators.multimodal import media_exact_dedup
+
+    rng = random.Random(41)
+    payloads = [bytes(rng.randbytes(rng.randint(0, 16))) for _ in range(12)]
+    rows = [
+        (f"media://{i:04d}", "image", rng.choice(payloads))
+        for i in range(300)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, media_type string, content binary"
+    )
+
+    ref: dict = {}
+    for ref_id, _, content in rows:
+        key = hashlib.md5(content).hexdigest()
+        cur = ref.setdefault(key, [None, 0, 0])
+        cur[0] = ref_id if cur[0] is None else min(cur[0], ref_id)
+        cur[1] += 1
+        cur[2] += len(content)
+    expected = {tuple(v) for v in ref.values()}
+
+    got = {
+        (r["canonical_media_ref"], r["n_copies"], r["bytes_total"])
+        for r in media_exact_dedup(media).collect()
+    }
+    assert got == expected
+    # copy counts conserve the table; distinct payloads bound clusters
+    assert sum(c for _, c, _ in got) == len(rows)
+    assert len(got) <= len(payloads)
