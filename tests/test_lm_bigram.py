@@ -73,3 +73,63 @@ def test_bm25_rare_term_outranks_common_and_length_normalizes(spark):
     capped = bm25_topk(docs, terms=("join", "dup"), k=5).collect()
     assert len(capped) == 5
     assert [r.doc_id for r in capped] == [r.doc_id for r in rows[:5]]
+
+
+def test_bm25_matches_python_reference_on_random_docs(spark):
+    """Randomized model test: pure-Python Okapi BM25 (Lucene
+    non-negative idf, k1=1.2 b=0.75, same [a-z]+ tokenizer, same
+    round-6 + doc_id tie-break cut) over a seeded corpus where every
+    doc mixes query and filler terms."""
+    import math
+    import random
+    import re
+
+    from azure_pdf_parser_spark.operators.lm import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        bm25_topk,
+    )
+    from azure_pdf_parser_spark.caching import release_all
+
+    rng = random.Random(67)
+    vocab = list(BM25_QUERY_TERMS) + ["alpha", "beta", "gamma", "Zed9"]
+    docs = [
+        (f"d{i:03d}", " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    toks = {
+        d: re.findall("[a-z]+", t.lower()) for d, t in docs
+    }
+    toks = {d: ts for d, ts in toks.items() if ts}  # zero-token docs absent
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    ref = []
+    for d, ts in toks.items():
+        dl = len(ts)
+        score, matched = 0.0, 0
+        for term in BM25_QUERY_TERMS:
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            df_t = sum(1 for other in toks.values() if term in other)
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            score += idf * tf * (BM25_K1 + 1) / (
+                tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+            )
+            matched += 1
+        if matched:
+            ref.append((d, dl, matched, round(score, 6)))
+    ref.sort(key=lambda r: (-r[3], r[0]))
+    expected = ref[:20]
+
+    try:
+        got = [
+            (r["doc_id"], r["dl"], r["n_matched"], r["bm25"])
+            for r in bm25_topk(df).collect()
+        ]
+    finally:
+        release_all()
+    assert got == expected
